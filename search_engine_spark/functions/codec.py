@@ -1,0 +1,165 @@
+"""Posting-block codec: delta-gap + varint (unsigned LEB128) compression of
+(docid, tf, positions[]) runs, with block-max metadata.
+
+Standard IR posting compression (Manning/Raghavan/Schütze, IIR ch. 5;
+block-max metadata per Ding & Suel, "Faster top-k document retrieval using
+block-max indexes", SIGIR 2011). The reference stores postings as delimited
+strings in KVS columns ("tf:pos1,pos2", jobs/IndexerProjectPhraseSearch.java:82-84);
+this codec is the scale-path replacement.
+
+Block layout (independently decodable):
+    varint n_postings
+    varint first_docid                     (absolute)
+    varint docid_gap  × (n-1)              (gap - 1 not used; gaps >= 1)
+    varint tf         × n
+    per posting: varint n_pos, varint first_pos, varint pos_gap × (n_pos-1)
+
+Positions may be empty (n_pos = 0) when the index is built without them.
+"""
+
+from __future__ import annotations
+
+from search_engine_spark.oracle.bm25 import bm25_term_score
+
+DEFAULT_BLOCK_SIZE = 128
+
+
+def varint_encode(value: int, out: bytearray) -> None:
+    if value < 0:
+        raise ValueError("varint requires non-negative int")
+    while True:
+        b = value & 0x7F
+        value >>= 7
+        if value:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return
+
+
+def varint_decode(buf: bytes, offset: int) -> tuple[int, int]:
+    """Returns (value, new_offset)."""
+    result = 0
+    shift = 0
+    while True:
+        b = buf[offset]
+        offset += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return result, offset
+        shift += 7
+
+
+def encode_block(
+    docids: list[int], tfs: list[int], positions: list[list[int]] | None
+) -> bytes:
+    """Encode one block of postings (docids strictly ascending)."""
+    n = len(docids)
+    out = bytearray()
+    varint_encode(n, out)
+    if n == 0:
+        return bytes(out)
+    varint_encode(docids[0], out)
+    prev = docids[0]
+    for d in docids[1:]:
+        if d <= prev:
+            raise ValueError("docids must be strictly ascending")
+        varint_encode(d - prev, out)
+        prev = d
+    for tf in tfs:
+        varint_encode(tf, out)
+    for i in range(n):
+        plist = positions[i] if positions is not None else []
+        varint_encode(len(plist), out)
+        if plist:
+            varint_encode(plist[0], out)
+            pprev = plist[0]
+            for p in plist[1:]:
+                varint_encode(p - pprev, out)
+                pprev = p
+    return bytes(out)
+
+
+def decode_block(buf: bytes) -> tuple[list[int], list[int], list[list[int]]]:
+    """Decode one block → (docids, tfs, positions)."""
+    off = 0
+    n, off = varint_decode(buf, off)
+    docids: list[int] = []
+    tfs: list[int] = []
+    positions: list[list[int]] = []
+    if n == 0:
+        return docids, tfs, positions
+    d, off = varint_decode(buf, off)
+    docids.append(d)
+    for _ in range(n - 1):
+        gap, off = varint_decode(buf, off)
+        d += gap
+        docids.append(d)
+    for _ in range(n):
+        tf, off = varint_decode(buf, off)
+        tfs.append(tf)
+    for _ in range(n):
+        m, off = varint_decode(buf, off)
+        if m == 0:
+            positions.append([])
+            continue
+        p, off = varint_decode(buf, off)
+        plist = [p]
+        for _ in range(m - 1):
+            g, off = varint_decode(buf, off)
+            p += g
+            plist.append(p)
+        positions.append(plist)
+    return docids, tfs, positions
+
+
+def decode_block_docids(buf: bytes) -> list[int]:
+    """Docids only (skip tfs/positions decode for intersection-only paths)."""
+    off = 0
+    n, off = varint_decode(buf, off)
+    if n == 0:
+        return []
+    d, off = varint_decode(buf, off)
+    docids = [d]
+    for _ in range(n - 1):
+        gap, off = varint_decode(buf, off)
+        d += gap
+        docids.append(d)
+    return docids
+
+
+def split_blocks(
+    docids: list[int],
+    tfs: list[int],
+    positions: list[list[int]] | None,
+    doclen: dict[int, int] | None,
+    avgdl: float,
+    idf: float,
+    block_size: int = DEFAULT_BLOCK_SIZE,
+):
+    """Split a full (sorted) posting list into encoded blocks.
+
+    Yields (block_id, block_bytes, block_max, first_docid, last_docid, n)
+    where block_max is the max exact BM25 partial score inside the block
+    (requires doclen+avgdl+idf; 0.0 when doclen is None).
+    """
+    for bi, start in enumerate(range(0, len(docids), block_size)):
+        end = min(start + block_size, len(docids))
+        b_doc = docids[start:end]
+        b_tf = tfs[start:end]
+        b_pos = positions[start:end] if positions is not None else None
+        if doclen is not None:
+            bmax = max(
+                bm25_term_score(b_tf[i], doclen[b_doc[i]], avgdl, idf)
+                for i in range(len(b_doc))
+            )
+        else:
+            bmax = 0.0
+        yield (
+            bi,
+            encode_block(b_doc, b_tf, b_pos),
+            bmax,
+            b_doc[0],
+            b_doc[-1],
+            len(b_doc),
+        )

@@ -1,0 +1,214 @@
+"""Whole-stage-codegen text operators over any (docid, text) table.
+
+Everything in this module is built from pyspark.sql built-ins only — no
+Python UDFs — so it stays JVM-side (WholeStageCodegen), benefits from
+predicate pushdown / column pruning, and is exactly mirrorable in ANSI SQL
+(the DuckDB oracle gate).
+
+Tokenization here is the SQL-expressible "simple" token stream
+(lower → [^a-z0-9]+ → split); the full reference-parity tokenizer with
+Porter dual-indexing lives in the pandas-UDF indexer (operators/indexer.py)
+and is verified against the pure-Python oracle in tests/.
+
+BM25 constants & semantics match the oracle (oracle/bm25.py): k1=1.2,
+b=0.75, idf = ln((N-df+0.5)/(df+0.5)+1), tie-break (score desc, docid asc).
+Scores are rounded to 6 decimals BEFORE ranking so ordering is stable across
+engines (floating-point summation order differs between Spark and DuckDB).
+
+Replaces the reference's query path (/root/reference/src/cis5550/frontend/
+Master.java:356-601: per-term threads over KVS getRow + sampled tf-idf) with
+declarative plans Catalyst can optimize.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from search_engine_spark.oracle.bm25 import B, K1
+from search_engine_spark.oracle.text import STOPWORDS, simple_tokens
+
+TOKEN_SEP_RE = "[^a-z0-9]+"
+SCORE_DECIMALS = 6
+
+
+def tokens_col(text_col: str | Column) -> Column:
+    """array<string> of simple tokens — built-ins only."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    arr = F.split(F.regexp_replace(F.lower(c), TOKEN_SEP_RE, " "), " ")
+    return F.filter(arr, lambda x: x != "")
+
+
+def exploded_terms(
+    df: DataFrame, docid: str = "doc_id", text: str = "text"
+) -> DataFrame:
+    """(docid, pos, term) — one row per token occurrence, 1-based positions."""
+    return df.select(
+        F.col(docid).alias("docid"),
+        F.posexplode(tokens_col(text)).alias("pos0", "term"),
+    ).select("docid", (F.col("pos0") + 1).alias("pos"), "term")
+
+
+def term_frequencies(
+    df: DataFrame, docid: str = "doc_id", text: str = "text"
+) -> DataFrame:
+    """(docid, term, tf) — map-side partial aggregation applies (hash agg)."""
+    return (
+        exploded_terms(df, docid, text)
+        .groupBy("docid", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def doc_lengths(df: DataFrame, docid: str = "doc_id", text: str = "text") -> DataFrame:
+    """(docid, dl) — token count per document, no shuffle (per-row size)."""
+    return df.select(
+        F.col(docid).alias("docid"), F.size(tokens_col(text)).alias("dl")
+    )
+
+
+def document_frequencies(
+    df: DataFrame, docid: str = "doc_id", text: str = "text"
+) -> DataFrame:
+    """(term, df, cf) over the corpus. array_distinct per doc first → the
+    shuffle carries one row per (doc, distinct term), not per occurrence."""
+    per_doc = df.select(
+        F.col(docid).alias("docid"),
+        F.explode(tokens_col(text)).alias("term"),
+    ).groupBy("docid", "term").agg(F.count(F.lit(1)).alias("tf"))
+    return per_doc.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf")
+    )
+
+
+def bm25_idf_col(n_docs: Column | int, df_col: Column) -> Column:
+    n = F.lit(n_docs) if isinstance(n_docs, int) else n_docs
+    return F.log((n - df_col + F.lit(0.5)) / (df_col + F.lit(0.5)) + F.lit(1.0))
+
+
+def query_terms(query: str, stem: bool = False) -> list[str]:
+    """Tokenize a query string driver-side, drop stopwords, dedup (ordered).
+    Mirrors reference frontend/Master.java:283-296."""
+    seen: list[str] = []
+    for t in simple_tokens(query):
+        if t in STOPWORDS or t in seen:
+            continue
+        seen.append(t)
+    return seen
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query: str,
+    k: int = 100,
+    docid: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """Exhaustive BM25 top-k over a (docid, text) table — declarative plan.
+
+    The query-term filter is applied BEFORE the tf aggregation so Catalyst
+    only shuffles rows for the query's terms (the analogue of posting-list
+    lookup); dl/avgdl/N come from cheap global aggregates. Returns
+    (docid, score) with score rounded to SCORE_DECIMALS, ordered
+    (score desc, docid asc), limited to k.
+    """
+    terms = query_terms(query)
+    if not terms:
+        return docs.sparkSession.createDataFrame(
+            [], "docid long, score double"
+        )
+    toks = exploded_terms(docs, docid, text)
+    dl = (
+        doc_lengths(docs, docid, text)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.avg("dl").alias("avgdl"),
+        )
+    )
+    # per-(doc, term) tf for query terms only — filter pushed below the agg
+    tf = (
+        toks.filter(F.col("term").isin(terms))
+        .groupBy("docid", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    # per-term df over the full corpus (for the query terms only)
+    dfreq = (
+        toks.filter(F.col("term").isin(terms))
+        .select("docid", "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    doclen = doc_lengths(docs, docid, text)
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(doclen, "docid")
+        .crossJoin(F.broadcast(dl))
+        .withColumn("idf", bm25_idf_col(F.col("n_docs"), F.col("df")))
+        .withColumn(
+            "part",
+            F.col("idf")
+            * F.col("tf")
+            * F.lit(K1 + 1.0)
+            / (
+                F.col("tf")
+                + F.lit(K1)
+                * (F.lit(1.0 - B) + F.lit(B) * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .groupBy("docid")
+        .agg(F.round(F.sum("part"), SCORE_DECIMALS).alias("score"))
+    )
+    return scored.orderBy(F.col("score").desc(), F.col("docid").asc()).limit(k)
+
+
+def bm25_topk_sql_oracle(
+    query: str,
+    k: int = 100,
+    table: str = "documents",
+    docid: str = "doc_id",
+    text: str = "text",
+    where: str = "TRUE",
+) -> str:
+    """ANSI/DuckDB SQL mirror of bm25_topk — same constants, same rounding,
+    same tie-break. Used as the correctness-gate oracle."""
+    terms = query_terms(query)
+    terms_sql = ", ".join(f"('{t}')" for t in terms)
+    return f"""
+WITH docs AS (
+  SELECT {docid} AS docid, {text} AS txt FROM {table} WHERE {where}
+),
+qterms(term) AS (VALUES {terms_sql}),
+toks AS (
+  SELECT docid, t.term
+  FROM docs,
+       LATERAL unnest(string_split_regex(
+         trim(regexp_replace(lower(txt), '[^a-z0-9]+', ' ', 'g')), ' '
+       )) AS t(term)
+  WHERE t.term <> ''
+),
+doclen AS (SELECT docid, count(*) AS dl FROM toks GROUP BY docid),
+stats AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl
+  FROM (SELECT d.docid, coalesce(l.dl, 0) AS dl
+        FROM docs d LEFT JOIN doclen l ON d.docid = l.docid)
+),
+tf AS (
+  SELECT docid, term, count(*) AS tf FROM toks
+  WHERE term IN (SELECT term FROM qterms) GROUP BY docid, term
+),
+dfreq AS (SELECT term, count(DISTINCT docid) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.docid,
+         round(sum(
+           ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+           * tf.tf * {K1 + 1.0}
+           / (tf.tf + {K1} * ({1.0 - B} + {B} * doclen.dl / stats.avgdl))
+         ), {SCORE_DECIMALS}) AS score
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN doclen ON tf.docid = doclen.docid
+  CROSS JOIN stats
+  GROUP BY tf.docid
+)
+SELECT docid, score FROM scored ORDER BY score DESC, docid ASC LIMIT {k}
+"""

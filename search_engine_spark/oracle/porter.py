@@ -1,0 +1,177 @@
+"""Porter stemmer — implemented from the published algorithm:
+
+    M.F. Porter, "An algorithm for suffix stripping", Program 14(3), 1980.
+
+This is the classic 1980 variant (no later "departures"), written from the
+paper's rule tables. The reference engine ships a Java transcription of the
+same algorithm (/root/reference/src/cis5550/tools/Stemmer.java:46-425); this
+file is an independent implementation from the public spec, not a port.
+
+Words of length <= 2 are returned unchanged, per the paper.
+"""
+
+from __future__ import annotations
+
+_VOWELS = frozenset("aeiou")
+
+
+def _is_cons(word: str, i: int) -> bool:
+    """True if word[i] is a consonant. 'y' is a consonant when at position 0
+    or when the preceding letter is a vowel."""
+    c = word[i]
+    if c in _VOWELS:
+        return False
+    if c == "y":
+        return i == 0 or not _is_cons(word, i - 1)
+    return True
+
+
+def _measure(stem: str) -> int:
+    """m: the number of VC sequences in the stem ([C](VC)^m[V])."""
+    m = 0
+    i = 0
+    n = len(stem)
+    # skip initial consonant run
+    while i < n and _is_cons(stem, i):
+        i += 1
+    while i < n:
+        # vowel run
+        while i < n and not _is_cons(stem, i):
+            i += 1
+        if i >= n:
+            break
+        m += 1
+        while i < n and _is_cons(stem, i):
+            i += 1
+    return m
+
+
+def _has_vowel(stem: str) -> bool:
+    return any(not _is_cons(stem, i) for i in range(len(stem)))
+
+
+def _ends_double_cons(word: str) -> bool:
+    return (
+        len(word) >= 2
+        and word[-1] == word[-2]
+        and _is_cons(word, len(word) - 1)
+    )
+
+
+def _ends_cvc(word: str) -> bool:
+    """*o: stem ends cvc where the final consonant is not w, x or y."""
+    if len(word) < 3:
+        return False
+    n = len(word)
+    return (
+        _is_cons(word, n - 3)
+        and not _is_cons(word, n - 2)
+        and _is_cons(word, n - 1)
+        and word[-1] not in "wxy"
+    )
+
+
+def _replace_suffix(word: str, suffix: str, repl: str, min_m: int) -> str | None:
+    """If word ends with suffix and m(stem) > min_m... returns replaced word,
+    else None. min_m semantics: condition is m > min_m."""
+    if not word.endswith(suffix):
+        return None
+    stem = word[: len(word) - len(suffix)]
+    if _measure(stem) > min_m:
+        return stem + repl
+    return word  # suffix matched but condition failed: rule consumed, no change
+
+
+_STEP2 = [
+    ("ational", "ate"), ("tional", "tion"), ("enci", "ence"), ("anci", "ance"),
+    ("izer", "ize"), ("abli", "able"), ("alli", "al"), ("entli", "ent"),
+    ("eli", "e"), ("ousli", "ous"), ("ization", "ize"), ("ation", "ate"),
+    ("ator", "ate"), ("alism", "al"), ("iveness", "ive"), ("fulness", "ful"),
+    ("ousness", "ous"), ("aliti", "al"), ("iviti", "ive"), ("biliti", "ble"),
+]
+
+_STEP3 = [
+    ("icate", "ic"), ("ative", ""), ("alize", "al"), ("iciti", "ic"),
+    ("ical", "ic"), ("ful", ""), ("ness", ""),
+]
+
+_STEP4 = [
+    "al", "ance", "ence", "er", "ic", "able", "ible", "ant", "ement",
+    "ment", "ent", "ion", "ou", "ism", "ate", "iti", "ous", "ive", "ize",
+]
+
+
+def porter_stem(word: str) -> str:
+    """Stem a lowercase word with the Porter (1980) algorithm."""
+    if len(word) <= 2:
+        return word
+    w = word
+
+    # Step 1a
+    if w.endswith("sses"):
+        w = w[:-2]
+    elif w.endswith("ies"):
+        w = w[:-2]
+    elif w.endswith("ss"):
+        pass
+    elif w.endswith("s"):
+        w = w[:-1]
+
+    # Step 1b
+    if w.endswith("eed"):
+        if _measure(w[:-3]) > 0:
+            w = w[:-1]
+    else:
+        did_1b = False
+        if w.endswith("ed") and _has_vowel(w[:-2]):
+            w = w[:-2]
+            did_1b = True
+        elif w.endswith("ing") and _has_vowel(w[:-3]):
+            w = w[:-3]
+            did_1b = True
+        if did_1b:
+            if w.endswith(("at", "bl", "iz")):
+                w = w + "e"
+            elif _ends_double_cons(w) and not w.endswith(("l", "s", "z")):
+                w = w[:-1]
+            elif _measure(w) == 1 and _ends_cvc(w):
+                w = w + "e"
+
+    # Step 1c
+    if w.endswith("y") and _has_vowel(w[:-1]):
+        w = w[:-1] + "i"
+
+    # Step 2
+    for suf, repl in _STEP2:
+        if w.endswith(suf):
+            w = _replace_suffix(w, suf, repl, 0)  # type: ignore[assignment]
+            break
+
+    # Step 3
+    for suf, repl in _STEP3:
+        if w.endswith(suf):
+            w = _replace_suffix(w, suf, repl, 0)  # type: ignore[assignment]
+            break
+
+    # Step 4
+    for suf in _STEP4:
+        if w.endswith(suf):
+            stem = w[: len(w) - len(suf)]
+            if suf == "ion" and not stem.endswith(("s", "t")):
+                continue
+            if _measure(stem) > 1:
+                w = stem
+            break
+
+    # Step 5a
+    if w.endswith("e"):
+        stem = w[:-1]
+        m = _measure(stem)
+        if m > 1 or (m == 1 and not _ends_cvc(stem)):
+            w = stem
+
+    # Step 5b
+    if _measure(w) > 1 and _ends_double_cons(w) and w.endswith("l"):
+        w = w[:-1]
+
+    return w
