@@ -1,0 +1,136 @@
+"""End-to-end index build + query parity vs the pure-Python oracle.
+
+Builds the block index over the deterministic synthetic corpus and requires:
+- identical doc stats (n_docs, dl per doc, avgdl)
+- rank-identical BM25 top-k (docids) with scores equal to 1e-9, for BOTH
+  the distributed Spark plan and the driver-side Block-Max WAND
+- identical phrase-search doc sets
+- skew-bucketing invariance: tiny bucket size (forces heavy-term splits)
+  produces identical results to the unbucketed build
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from search_engine_spark.corpus import PLANTED_PHRASES, gen_pages_df, page_record
+from search_engine_spark.operators.indexer import build_index
+from search_engine_spark.operators import query as Q
+from search_engine_spark.oracle.bm25 import OracleIndex
+
+N_DOCS = 300
+
+QUERIES = [
+    "demosthenes prince andrew",
+    "bloodthirsty soldier",
+    "gentlemen",
+    "solemn affair",
+    "historic event",
+    "commerce handicraft gardening",
+    "the and of",          # stopword-only → empty
+    "marching solemnly",   # stem-variant matches
+    "zzzzmissing prince",  # one zero-hit term
+]
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    """docid→text mapping exactly as the engine assigns ids (url rank over
+    the lang=='en' subset)."""
+    recs = [page_record(d) for d in range(N_DOCS)]
+    en = sorted((r for r in recs if r["lang"] == "en"), key=lambda r: r["url"])
+    return {i: r["text"] for i, r in enumerate(en)}
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus):
+    return OracleIndex.build(corpus, stem=True)
+
+
+@pytest.fixture(scope="module")
+def index(spark, tmp_path_factory, corpus):
+    out = str(tmp_path_factory.mktemp("idx") / "main")
+    pages = gen_pages_df(spark, N_DOCS, partitions=4)
+    stats = build_index(pages, out, lang="en", stem=True, partitions=4)
+    assert stats["n_docs"] == len(corpus)
+    return Q.load_index(spark, out)
+
+
+def test_doc_stats_match_oracle(index, oracle):
+    assert index.stats["n_docs"] == oracle.n_docs
+    assert abs(index.stats["avgdl"] - oracle.avgdl) < 1e-9
+    engine_dl = {
+        r["docid"]: r["dl"] for r in index.docs.select("docid", "dl").collect()
+    }
+    assert engine_dl == oracle.doclen
+
+
+def test_term_stats_match_oracle(index, oracle):
+    rows = index.terms.collect()
+    assert len(rows) == len(oracle.postings)
+    for r in rows[:500]:
+        assert r["df"] == oracle.df(r["term"])
+        expect_idf = math.log(
+            (oracle.n_docs - r["df"] + 0.5) / (r["df"] + 0.5) + 1.0
+        )
+        assert abs(r["idf"] - expect_idf) < 1e-12
+
+
+@pytest.mark.parametrize("q", QUERIES)
+def test_topk_distributed_matches_oracle(index, oracle, q):
+    got = [(r["docid"], r["score"]) for r in Q.topk_distributed(index, q, k=50).collect()]
+    want = oracle.topk(q, k=50)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, abs=1e-9)
+
+
+@pytest.mark.parametrize("q", QUERIES)
+def test_topk_wand_matches_oracle(index, oracle, q):
+    got = Q.topk_wand(index, q, k=50)
+    want = oracle.topk(q, k=50)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, abs=1e-9)
+
+
+def test_wand_small_k_prunes_but_exact(index, oracle):
+    for q in ("gentlemen", "bloodthirsty soldier", "prince andrew"):
+        got = Q.topk_wand(index, q, k=5)
+        want = oracle.topk(q, k=5)
+        assert [d for d, _ in got] == [d for d, _ in want]
+
+
+@pytest.mark.parametrize("ph", PLANTED_PHRASES[:5])
+def test_phrase_matches_oracle(index, oracle, ph):
+    assert Q.phrase_docs(index, ph) == oracle.phrase_docs(ph)
+
+
+def test_skew_bucketing_invariance(spark, tmp_path_factory, oracle):
+    """Tiny postings_per_bucket forces every frequent term through the
+    docid-range bucket path; results must be identical (north_rule: skew
+    handled explicitly, provably result-preserving)."""
+    out = str(tmp_path_factory.mktemp("idx") / "bucketed")
+    pages = gen_pages_df(spark, N_DOCS, partitions=4)
+    build_index(
+        pages, out, lang="en", stem=True, partitions=4,
+        postings_per_bucket=20, block_size=16,
+    )
+    idx = Q.load_index(spark, out)
+    # heavy terms really did split into multiple buckets
+    from pyspark.sql import functions as F
+    nbuckets = (
+        idx.postings.groupBy("term")
+        .agg(F.countDistinct("bucket").alias("nb"))
+        .agg(F.max("nb"))
+        .collect()[0][0]
+    )
+    assert nbuckets > 1
+    for q in ("gentlemen", "prince andrew", "historic event"):
+        got = Q.topk_wand(idx, q, k=30)
+        want = oracle.topk(q, k=30)
+        assert [d for d, _ in got] == [d for d, _ in want]
+        for (gd, gs), (wd, ws) in zip(got, want):
+            assert gs == pytest.approx(ws, abs=1e-9)
