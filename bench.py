@@ -1,0 +1,108 @@
+"""Benchmark harness: headline queries + index-build throughput.
+
+Prints ONE JSON line:
+  {"metric": "e2e_bench_sec", "value": <total query sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>,
+   "index_build": {"docs": N, "wall_s": s, "docs_per_sec": r}}
+
+Env:
+  SPARK_GRAFT_SF_DIR  parquet dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    cores for local[N] (default 32)
+  BENCH_INDEX_DOCS    synthetic corpus size for the build-throughput leg
+                      (default 20000)
+
+The build-throughput leg measures the engine's own pipeline (corpus
+generation excluded from the timed region; steady-state, session startup
+excluded) — the authoritative metric per BASELINE.json. Scaling runs
+(local[8] vs local[32]) are produced by tools/bench_scaling.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "bm25_multi",
+    "bm25_index_all",
+    "term_frequencies",
+    "document_frequencies",
+    "phrase",
+    "minhash_sigs",
+    "simhash",
+    "jaccard_pairs",
+    "cosine_topk",
+    "knn_join",
+    "lang_id",
+    "quality",
+    "tpch_pricing",
+    "join_agg",
+    "window_top_order",
+    "sessionize",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_index_docs = int(os.environ.get("BENCH_INDEX_DOCS", "20000"))
+
+    from search_engine_spark.session import get_spark
+
+    import __spark_entry__ as E
+
+    spark = get_spark(app_name="bench", cores=cpus, shuffle_partitions=cpus)
+    qs = E.queries()
+
+    # warm the JVM/session with one tiny job (excluded from timings)
+    spark.range(1000).count()
+
+    per_query: dict[str, float] = {}
+    total = 0.0
+    for name in BENCH_QUERIES:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        n = fn(spark, sf_dir).count()
+        dt = time.perf_counter() - t0
+        per_query[name] = round(dt, 3)
+        total += dt
+
+    # index-build throughput over the deterministic synthetic web corpus
+    from search_engine_spark.corpus import gen_pages_df
+    from search_engine_spark.operators.indexer import build_index
+
+    tmp = tempfile.mkdtemp(prefix="se_bench_idx_")
+    pages_path = os.path.join(tmp, "pages")
+    gen_pages_df(spark, n_index_docs, partitions=cpus * 2).write.parquet(pages_path)
+    pages = spark.read.parquet(pages_path)
+    t0 = time.perf_counter()
+    stats = build_index(
+        pages, os.path.join(tmp, "idx"), lang="en", partitions=cpus * 2
+    )
+    build_s = time.perf_counter() - t0
+    shutil.rmtree(tmp, ignore_errors=True)
+
+    out = {
+        "metric": "e2e_bench_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+        "cpus": cpus,
+        "index_build": {
+            "docs": stats["n_docs"],
+            "wall_s": round(build_s, 3),
+            "docs_per_sec": round(stats["n_docs"] / build_s, 1),
+        },
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

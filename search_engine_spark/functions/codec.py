@@ -19,6 +19,8 @@ Positions may be empty (n_pos = 0) when the index is built without them.
 
 from __future__ import annotations
 
+import numpy as np
+
 from search_engine_spark.oracle.bm25 import bm25_term_score
 
 DEFAULT_BLOCK_SIZE = 128
@@ -48,6 +50,72 @@ def varint_decode(buf: bytes, offset: int) -> tuple[int, int]:
         if not b & 0x80:
             return result, offset
         shift += 7
+
+
+def varints_vec(values: np.ndarray) -> bytes:
+    """Vectorized LEB128 of a non-negative int64 array — byte-identical to
+    repeated ``varint_encode``. O(max_bytes) numpy passes, no Python loop
+    over values (the indexer's hot path)."""
+    v = values.astype(np.uint64, copy=False)
+    if v.size == 0:
+        return b""
+    # bytes needed per value: ceil(bit_length/7), min 1
+    nbytes = np.ones(v.shape, dtype=np.int64)
+    thresh = np.uint64(1 << 7)
+    while True:
+        mask = v >= thresh
+        if not mask.any():
+            break
+        nbytes[mask] += 1
+        if int(thresh) >= (1 << 57):  # next shift would overflow uint64 cmp
+            big = v >= np.uint64(1 << 63)
+            nbytes[big] = np.maximum(nbytes[big], 10)
+            break
+        thresh = np.uint64(int(thresh) << 7)
+    total = int(nbytes.sum())
+    out = np.zeros(total, dtype=np.uint8)
+    ends = np.cumsum(nbytes)
+    starts = ends - nbytes
+    maxb = int(nbytes.max())
+    for k in range(maxb):
+        mask = nbytes > k
+        byte = ((v[mask] >> np.uint64(7 * k)) & np.uint64(0x7F)).astype(np.uint8)
+        cont = (nbytes[mask] > k + 1).astype(np.uint8) * np.uint8(0x80)
+        out[starts[mask] + k] = byte | cont
+    return out.tobytes()
+
+
+def encode_block_arrays(
+    docids: np.ndarray,
+    tfs: np.ndarray,
+    pos_flat: np.ndarray | None,
+    pos_lens: np.ndarray | None,
+) -> bytes:
+    """Vectorized ``encode_block`` over numpy arrays (identical bytes).
+
+    pos_flat/pos_lens: concatenated position values + per-posting lengths
+    (None → no positions, encoded as n_pos=0 per posting)."""
+    n = len(docids)
+    head = np.empty(1 + n, dtype=np.int64)
+    head[0] = n
+    if n == 0:
+        return varints_vec(head[:1])
+    head[1] = docids[0]
+    head[2:] = np.diff(docids)
+    if np.any(head[2:] <= 0):
+        raise ValueError("docids must be strictly ascending")
+    if pos_flat is None or pos_lens is None:
+        pos_seq = np.zeros(n, dtype=np.int64)
+    else:
+        deltas = pos_flat.astype(np.int64, copy=True)
+        starts = np.cumsum(pos_lens) - pos_lens
+        if deltas.size:
+            deltas[1:] -= pos_flat[:-1]
+            nz = starts[pos_lens > 0]
+            deltas[nz] = pos_flat[nz]  # restore absolutes at posting starts
+        pos_seq = np.insert(deltas, starts, pos_lens)
+    vals = np.concatenate([head, tfs.astype(np.int64, copy=False), pos_seq])
+    return varints_vec(vals)
 
 
 def encode_block(

@@ -54,7 +54,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from search_engine_spark.functions.codec import DEFAULT_BLOCK_SIZE, split_blocks
+from search_engine_spark.functions.codec import DEFAULT_BLOCK_SIZE
 from search_engine_spark.oracle.bm25 import bm25_idf
 from search_engine_spark.oracle.text import tokenize
 
@@ -209,6 +209,151 @@ def term_stats(postings: DataFrame, n_docs: int) -> DataFrame:
 # Stage 4: posting-block build (skew-bucketed)
 # ---------------------------------------------------------------------------
 
+def build_blocks_arrow(
+    postings: DataFrame,
+    terms: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    postings_per_bucket: int = DEFAULT_POSTINGS_PER_BUCKET,
+    block_size: int = DEFAULT_BLOCK_SIZE,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Arrow-native block build in ONE shuffle.
+
+    ``repartitionByRange(term, bucket) → sortWithinPartitions(term, bucket,
+    docid) → mapInArrow(stream encoder)``: groups arrive contiguous and
+    docid-sorted, so the encoder is a zero-copy streaming pass over Arrow
+    batches — positions stay a flat values+offsets ListArray end to end (no
+    per-row Python lists), and the output is already term-range-laid-out
+    for the parquet write (no second shuffle). Heavy terms are docid-range
+    bucketed exactly as in ``build_blocks``.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from search_engine_spark.functions.codec import encode_block_arrays
+    from search_engine_spark.oracle.bm25 import B, K1
+
+    spark = postings.sparkSession
+    parts = partitions or spark.sparkContext.defaultParallelism
+    bucket_span = max(1, postings_per_bucket)
+    heavy = terms.filter(F.col("df") > postings_per_bucket).select("term")
+    tagged = (
+        postings.join(
+            F.broadcast(heavy.withColumn("_heavy", F.lit(True))), "term", "left"
+        )
+        .withColumn(
+            "bucket",
+            F.when(
+                F.col("_heavy").isNotNull(),
+                (F.col("docid") / F.lit(bucket_span)).cast("int"),
+            ).otherwise(F.lit(0)),
+        )
+        .select("term", "bucket", "docid", "tf", "positions", "dl")
+        .repartitionByRange(parts, "term", "bucket")
+        .sortWithinPartitions("term", "bucket", "docid")
+    )
+
+    out_fields = pa.schema(
+        [
+            ("term", pa.string()),
+            ("bucket", pa.int32()),
+            ("block_id", pa.int32()),
+            ("first_docid", pa.int64()),
+            ("last_docid", pa.int64()),
+            ("n", pa.int32()),
+            ("block_max", pa.float64()),
+            ("block", pa.binary()),
+        ]
+    )
+
+    def emit_groups(tbl: "pa.Table", starts: "np.ndarray"):
+        """Encode each contiguous (term,bucket) group of a docid-sorted
+        table; ``starts`` are the group start offsets (first = 0)."""
+        tbl = tbl.combine_chunks()
+        docid = tbl.column("docid").to_numpy()
+        tf = tbl.column("tf").to_numpy().astype(np.int64, copy=False)
+        dl = tbl.column("dl").to_numpy().astype(np.float64, copy=False)
+        pos = tbl.column("positions")
+        pos = pos.chunk(0) if isinstance(pos, pa.ChunkedArray) else pos
+        offs = pos.offsets.to_numpy().astype(np.int64, copy=False)
+        base = offs[0]
+        offs = offs - base
+        flat = pos.values.to_numpy().astype(np.int64, copy=False)
+        flat = flat[base : base + offs[-1]] if len(offs) else flat[:0]
+        terms_np = tbl.column("term").to_numpy(zero_copy_only=False)
+        bucket_np = tbl.column("bucket").to_numpy()
+        norm = tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / avgdl))
+        bounds = np.append(starts, len(tbl))
+        o_term, o_bucket, o_bid, o_first, o_last, o_n, o_max, o_blob = (
+            [], [], [], [], [], [], [], []
+        )
+        for gi in range(len(starts)):
+            g0, g1 = int(bounds[gi]), int(bounds[gi + 1])
+            t, bk = terms_np[g0], int(bucket_np[g0])
+            for bi, s in enumerate(range(g0, g1, block_size)):
+                e = min(s + block_size, g1)
+                blob = encode_block_arrays(
+                    docid[s:e],
+                    tf[s:e],
+                    flat[offs[s] : offs[e]],
+                    np.diff(offs[s : e + 1]),
+                )
+                o_term.append(t)
+                o_bucket.append(bk)
+                o_bid.append(bi)
+                o_first.append(int(docid[s]))
+                o_last.append(int(docid[e - 1]))
+                o_n.append(e - s)
+                o_max.append(float(norm[s:e].max()))
+                o_blob.append(blob)
+        if o_term:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(o_term, pa.string()),
+                    pa.array(o_bucket, pa.int32()),
+                    pa.array(o_bid, pa.int32()),
+                    pa.array(o_first, pa.int64()),
+                    pa.array(o_last, pa.int64()),
+                    pa.array(o_n, pa.int32()),
+                    pa.array(o_max, pa.float64()),
+                    pa.array(o_blob, pa.binary()),
+                ],
+                schema=out_fields,
+            )
+
+    def group_starts(tbl: "pa.Table") -> "np.ndarray":
+        n = len(tbl)
+        if n <= 1:
+            return np.zeros(min(n, 1), dtype=np.int64)
+        term = tbl.column("term").combine_chunks()
+        buck = tbl.column("bucket").combine_chunks()
+        neq = pc.or_(
+            pc.not_equal(term.slice(1), term.slice(0, n - 1)),
+            pc.not_equal(buck.slice(1), buck.slice(0, n - 1)),
+        ).to_numpy(zero_copy_only=False)
+        return np.concatenate([[0], np.nonzero(neq)[0] + 1]).astype(np.int64)
+
+    def encode_stream(batches):
+        pending: "pa.Table | None" = None
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch])
+            if pending is not None:
+                tbl = pa.concat_tables([pending, tbl]).combine_chunks()
+            if len(tbl) == 0:
+                continue
+            starts = group_starts(tbl)
+            last = int(starts[-1])
+            head, pending = tbl.slice(0, last), tbl.slice(last)
+            if len(head):
+                yield from emit_groups(head, starts[:-1])
+        if pending is not None and len(pending):
+            yield from emit_groups(pending, group_starts(pending))
+
+    return tagged.mapInArrow(encode_stream, schema=BLOCKS_SCHEMA)
+
+
 def build_blocks(
     postings: DataFrame,
     terms: DataFrame,
@@ -218,7 +363,9 @@ def build_blocks(
     block_size: int = DEFAULT_BLOCK_SIZE,
     with_positions: bool = True,
 ) -> DataFrame:
-    """Encode posting lists into compressed blocks with block-max metadata.
+    """Encode posting lists into compressed blocks with block-max metadata
+    (block_max stored idf-normalized: max of tf·(k1+1)/(tf+k1·(1−b+b·dl/avgdl))
+    over the block; the query engine multiplies the per-term idf back in).
 
     Heavy terms (df > postings_per_bucket) are split into deterministic
     docid-range buckets — ``bucket = docid // bucket_span`` — so no encode
@@ -231,11 +378,10 @@ def build_blocks(
     # gets ~postings_per_bucket postings per bucket; worst case (df = N,
     # every doc) gives exactly postings_per_bucket.
     bucket_span = max(1, postings_per_bucket)
-    heavy = terms.filter(F.col("df") > postings_per_bucket).select("term", "idf")
-    light = terms.filter(F.col("df") <= postings_per_bucket).select("term", "idf")
+    # heavy set is tiny by Zipf (only terms with df > bucket size) → safe
+    # broadcast at any corpus scale; light terms are many but each small.
+    heavy = terms.filter(F.col("df") > postings_per_bucket).select("term")
 
-    # broadcast the (small) heavy set; light terms vastly outnumber heavy
-    # ones but each has a small posting list.
     tagged = (
         postings.join(F.broadcast(heavy.withColumn("_heavy", F.lit(True))),
                       "term", "left")
@@ -246,28 +392,62 @@ def build_blocks(
                 (F.col("docid") / F.lit(bucket_span)).cast("int"),
             ).otherwise(F.lit(0)),
         )
-        .drop("_heavy", "idf")
+        .drop("_heavy")
     )
-    # every posting row needs idf (for block-max); join the full term stats.
-    # This is a term-keyed shuffle join the groupBy below reuses (same key).
-    tagged = tagged.join(terms.select("term", "idf"), "term")
+    # block_max is stored WITHOUT the idf factor (idf is a per-term
+    # constant; the query side multiplies it in). This avoids joining the
+    # full term-stats table into the posting stream — at web scale the
+    # vocabulary is far too large to broadcast and the join would be a
+    # second full shuffle of the posting data.
+
+    import numpy as np
+
+    from search_engine_spark.functions.codec import encode_block_arrays
+    from search_engine_spark.oracle.bm25 import B, K1
 
     def encode(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("docid")
         term = pdf["term"].iloc[0]
         bucket = int(pdf["bucket"].iloc[0])
-        idf = float(pdf["idf"].iloc[0])
-        docids = pdf["docid"].astype("int64").tolist()
-        tfs = pdf["tf"].astype("int64").tolist()
-        positions = (
-            [list(p) for p in pdf["positions"]] if with_positions else None
+        docids = pdf["docid"].to_numpy(dtype=np.int64)
+        tfs = pdf["tf"].to_numpy(dtype=np.int64)
+        dls = pdf["dl"].to_numpy(dtype=np.float64)
+        # idf-NORMALIZED per-posting BM25 partials (block_max excludes the
+        # per-term idf constant; query side multiplies it in), vectorized
+        scores = (
+            tfs * (K1 + 1.0)
+            / (tfs + K1 * (1.0 - B + B * dls / avgdl))
         )
-        doclen = dict(zip(docids, pdf["dl"].astype("int64").tolist()))
+        if with_positions:
+            plists = pdf["positions"].tolist()
+            pos_lens = np.fromiter(
+                (len(p) for p in plists), dtype=np.int64, count=len(plists)
+            )
+            pos_flat = (
+                np.concatenate([np.asarray(p, dtype=np.int64) for p in plists])
+                if pos_lens.sum() > 0
+                else np.empty(0, dtype=np.int64)
+            )
+            pos_offsets = np.concatenate([[0], np.cumsum(pos_lens)])
         rows = []
-        for bi, blob, bmax, first, last, n in split_blocks(
-            docids, tfs, positions, doclen, avgdl, idf, block_size
-        ):
-            rows.append((term, bucket, bi, first, last, n, bmax, blob))
+        for bi, s in enumerate(range(0, len(docids), block_size)):
+            e = min(s + block_size, len(docids))
+            if with_positions:
+                blob = encode_block_arrays(
+                    docids[s:e],
+                    tfs[s:e],
+                    pos_flat[pos_offsets[s] : pos_offsets[e]],
+                    pos_lens[s:e],
+                )
+            else:
+                blob = encode_block_arrays(docids[s:e], tfs[s:e], None, None)
+            rows.append(
+                (
+                    term, bucket, bi,
+                    int(docids[s]), int(docids[e - 1]), e - s,
+                    float(scores[s:e].max()), blob,
+                )
+            )
         return pd.DataFrame(
             rows,
             columns=[
@@ -321,18 +501,16 @@ def build_index(
     terms = term_stats(postings, n_docs)
     terms.persist()
 
-    blocks = build_blocks(
+    parts = partitions or spark.sparkContext.defaultParallelism
+    # arrow streaming encoder emits blocks already term-range-partitioned
+    # and term-sorted (one shuffle total) → parquet min/max row-group
+    # pruning works on term lookups with no extra exchange
+    blocks = build_blocks_arrow(
         postings, terms, n_docs, avgdl,
         postings_per_bucket=postings_per_bucket, block_size=block_size,
+        partitions=parts,
     )
-
-    parts = partitions or spark.sparkContext.defaultParallelism
-    # term-sorted layout → parquet min/max row-group pruning on term lookups
-    (
-        blocks.repartitionByRange(parts, "term")
-        .sortWithinPartitions("term", "bucket", "block_id")
-        .write.mode("overwrite").parquet(os.path.join(out_dir, "postings"))
-    )
+    blocks.write.mode("overwrite").parquet(os.path.join(out_dir, "postings"))
     (
         terms.repartitionByRange(max(1, parts // 4), "term")
         .sortWithinPartitions("term")

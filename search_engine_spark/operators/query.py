@@ -151,7 +151,9 @@ class _Cursor:
     )
 
     def __init__(self, term: str, idf: float, blocks: list[tuple]):
-        # blocks: list of (first_docid, last_docid, block_max, blob)
+        # blocks: list of (first_docid, last_docid, block_max_norm, blob)
+        # where block_max_norm excludes the per-term idf factor (stored
+        # idf-free by the indexer); all bounds here multiply idf back in.
         self.term = term
         self.idf = idf
         self.blocks = blocks
@@ -159,9 +161,8 @@ class _Cursor:
         self.docids: list[int] = []
         self.tfs: list[int] = []
         self.pi = 0
-        # global upper bound = max block_max (suffix max would be tighter;
-        # max is the standard WAND term UB)
-        self.ub = max(b[2] for b in blocks) if blocks else 0.0
+        # global upper bound = idf · max block_max (standard WAND term UB)
+        self.ub = idf * max(b[2] for b in blocks) if blocks else 0.0
         self._load()
 
     def _load(self) -> None:
@@ -187,7 +188,7 @@ class _Cursor:
 
     @property
     def block_max(self) -> float:
-        return self.blocks[self.bi][2]
+        return self.idf * self.blocks[self.bi][2]
 
     @property
     def block_last(self) -> int:

@@ -1,0 +1,228 @@
+"""Similarity search over embedding columns (array<float>).
+
+Three tiers:
+
+* ``cosine_topk`` — brute-force exact top-k against one query vector:
+  a single narrow scan, dot/norm computed with array built-ins
+  (``zip_with`` + ``aggregate``) entirely JVM-side; ``ORDER BY … LIMIT k``
+  compiles to TakeOrderedAndProject (no global sort materialization).
+* ``knn_join`` — exact k-NN for a (small, broadcast) set of query rows
+  against the corpus: broadcast-join + per-query window top-k.
+* ``lsh_hyperplane_*`` — the 100 TB path: deterministic random-hyperplane
+  (sign-LSH) bucketing; candidates = bucket join, verified by exact cosine.
+  Hyperplane components are md5-derived ±1 (functions/hashing.py) so the
+  whole pipeline is reproducible across engines.
+
+All cosines are rounded to 6 dp before ranking (cross-engine float-sum
+stability), ties broken by id ascending.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from search_engine_spark.functions.hashing import md5_int32, md5_int32_py
+
+COS_DECIMALS = 6
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    return F.round(_dot(a, b) / (_norm(a) * _norm(b)), COS_DECIMALS)
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_id: str = "vec_id",
+    vec: str = "embedding",
+    exclude_self: int | None = None,
+) -> DataFrame:
+    """(vec_id, cos) — exact top-k by cosine to ``query_vec``."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    out = emb.select(
+        F.col(vec_id).alias("vec_id"),
+        cosine_col(F.col(vec), q).alias("cos"),
+    )
+    if exclude_self is not None:
+        out = out.filter(F.col("vec_id") != exclude_self)
+    return out.orderBy(F.col("cos").desc(), F.col("vec_id").asc()).limit(k)
+
+
+def knn_join(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 3,
+    vec_id: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """(qid, vec_id, cos, rank) — exact k nearest neighbours for each query
+    id (excluding self). The query side is broadcast (small by contract);
+    ranking is a per-query window over the scored scan."""
+    q = emb.filter(F.col(vec_id).isin(query_ids)).select(
+        F.col(vec_id).alias("qid"), F.col(vec).alias("qvec")
+    )
+    scored = (
+        emb.select(F.col(vec_id).alias("vec_id"), F.col(vec).alias("v"))
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            cosine_col(F.col("v"), F.col("qvec")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "vec_id", "cos", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sign-LSH (random hyperplanes) — the approximate scale path
+# ---------------------------------------------------------------------------
+
+def hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
+    """Deterministic ±1 hyperplanes: component (p, i) = sign of an md5 bit."""
+    planes = []
+    for p in range(n_planes):
+        h = [1.0 if (md5_int32_py(f"{p}:{i}", seed="plane") & 1) else -1.0 for i in range(dim)]
+        planes.append(h)
+    return planes
+
+
+def lsh_signature(
+    emb: DataFrame,
+    dim: int,
+    n_planes: int = 8,
+    vec_id: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """(vec_id, sig) — sign-LSH bucket id: bit p = 1 iff v · plane_p > 0."""
+    planes = hyperplanes(dim, n_planes)
+    sig = F.lit(0).cast("long")
+    for p, plane in enumerate(planes):
+        pc = F.array(*[F.lit(x) for x in plane])
+        bit = F.when(_dot(F.col("v"), pc) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        sig = sig + bit.cast("long")
+    return emb.select(
+        F.col(vec_id).alias("vec_id"), F.col(vec).alias("v")
+    ).withColumn("sig", sig)
+
+
+def lsh_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    vec_id: str = "vec_id",
+    vec: str = "embedding",
+    probe_hamming: int = 1,
+) -> DataFrame:
+    """Approximate top-k: score only vectors whose LSH bucket is within
+    ``probe_hamming`` bits of the query's bucket (multi-probe), then exact
+    cosine within candidates. ~2^-planes of the corpus scanned per probe."""
+    dim = len(query_vec)
+    planes = hyperplanes(dim, n_planes)
+    qsig = 0
+    for p, plane in enumerate(planes):
+        if sum(a * b for a, b in zip(query_vec, plane)) > 0:
+            qsig |= 1 << p
+    probes = {qsig}
+    if probe_hamming >= 1:
+        for p in range(n_planes):
+            probes.add(qsig ^ (1 << p))
+    sigs = lsh_signature(emb, dim, n_planes, vec_id, vec)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        sigs.filter(F.col("sig").isin(list(probes)))
+        .select(F.col("vec_id"), cosine_col(F.col("v"), q).alias("cos"))
+        .orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) variant: coarse quantize to the nearest of C pivots
+# ---------------------------------------------------------------------------
+
+def ivf_assign(
+    emb: DataFrame,
+    pivots: list[tuple[int, list[float]]],
+    vec_id: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """(vec_id, cell): nearest-pivot (by cosine) coarse assignment.
+
+    Pivots are (cell_id, vector) — at scale they come from a sampled
+    k-means; here any deterministic pivot set works (e.g. first C vectors).
+    greatest-of-struct trick keeps the argmax JVM-side."""
+    best = None
+    for cid, pv in pivots:
+        pc = F.array(*[F.lit(float(x)) for x in pv])
+        cand = F.struct(
+            cosine_col(F.col(vec), pc).alias("cos"),
+            F.lit(-cid).alias("negid"),
+        )
+        best = cand if best is None else F.greatest(best, cand)
+    return emb.select(
+        F.col(vec_id).alias("vec_id"),
+        (-best.getField("negid")).cast("int").alias("cell"),
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    pivots: list[tuple[int, list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+    vec_id: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k scanning only the ``nprobe`` cells nearest the
+    query. Exact cosine within the probed cells."""
+    qcos = sorted(
+        (
+            (
+                sum(a * b for a, b in zip(query_vec, pv))
+                / (
+                    (sum(a * a for a in query_vec) ** 0.5)
+                    * (sum(b * b for b in pv) ** 0.5)
+                ),
+                cid,
+            )
+            for cid, pv in pivots
+        ),
+        key=lambda t: (-t[0], t[1]),
+    )
+    probe_cells = [cid for _c, cid in qcos[:nprobe]]
+    assigned = ivf_assign(emb, pivots, vec_id, vec)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        emb.select(F.col(vec_id).alias("vec_id"), F.col(vec).alias("v"))
+        .join(assigned.filter(F.col("cell").isin(probe_cells)), "vec_id")
+        .select("vec_id", cosine_col(F.col("v"), q).alias("cos"))
+        .orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )

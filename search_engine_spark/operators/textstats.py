@@ -1,0 +1,189 @@
+"""Text-analysis operators for training-data pipelines.
+
+All pure DataFrame built-ins (JVM-side, whole-stage codegen) with exact
+DuckDB-SQL mirrors for the correctness gate:
+
+* token counting (whitespace/regex tokens, unique counts)
+* quality scoring (length / lexical-diversity / stopword-ratio features)
+* language ID (marker-token n-gram heuristic)
+* document fingerprinting (normalized-content digest)
+* autocomplete (prefix → top terms by df — the reference's trie,
+  /root/reference/src/cis5550/frontend/Trie.java:19-82, as a declarative
+  query over the term-stats table)
+* pattern extraction (the reference's zip-code extractor,
+  /root/reference/src/cis5550/jobs/IndexerProject.java:362-376, generalized)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from search_engine_spark.operators.text_ops import tokens_col
+from search_engine_spark.oracle.text import STOPWORDS
+
+Q_DECIMALS = 6
+
+# marker tokens per language for the n-gram-heuristic language classifier;
+# deterministic priority order for ties: en < de < es < fr
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it", "with", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine", "von"],
+    "es": ["el", "la", "los", "las", "que", "y", "en", "un", "una", "por"],
+    "fr": ["le", "les", "et", "des", "un", "une", "est", "dans", "pour", "qui"],
+}
+
+
+def token_counts(
+    df: DataFrame, docid: str = "doc_id", text: str = "text"
+) -> DataFrame:
+    """(docid, n_tokens, n_unique, n_chars_norm)."""
+    toks = tokens_col(text)
+    return df.select(
+        F.col(docid).alias("docid"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique"),
+        F.length(F.concat_ws(" ", toks)).alias("n_chars_norm"),
+    )
+
+
+def _stop_hits(toks: Column) -> Column:
+    stops = F.array(*[F.lit(s) for s in sorted(STOPWORDS)])
+    return F.size(F.filter(toks, lambda x: F.array_contains(stops, x)))
+
+
+def quality_score(
+    df: DataFrame, docid: str = "doc_id", text: str = "text"
+) -> DataFrame:
+    """(docid, n_tokens, uniq_ratio, stop_ratio, mean_len, quality).
+
+    quality = 0.3·min(n_tokens/200, 1) + 0.3·uniq_ratio
+            + 0.2·(1 − stop_ratio) + 0.2·min(mean_len/8, 1), rounded.
+    A length/diversity/stopword heuristic in the C4/Gopher-rule family —
+    deterministic, engine-mirrorable arithmetic."""
+    toks = tokens_col(text)
+    base = df.select(
+        F.col(docid).alias("docid"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique"),
+        _stop_hits(toks).alias("n_stop"),
+        F.aggregate(
+            F.transform(toks, lambda x: F.length(x).cast("double")),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("char_sum"),
+    ).filter(F.col("n_tokens") > 0)
+    return (
+        base.withColumn("uniq_ratio", F.round(F.col("n_unique") / F.col("n_tokens"), Q_DECIMALS))
+        .withColumn("stop_ratio", F.round(F.col("n_stop") / F.col("n_tokens"), Q_DECIMALS))
+        .withColumn("mean_len", F.round(F.col("char_sum") / F.col("n_tokens"), Q_DECIMALS))
+        .withColumn(
+            "quality",
+            # floor-quantized instead of round(): token counts with
+            # power-of-two denominators make exact .5 boundaries common,
+            # where round-half-up (Spark) and round-half-even (DuckDB)
+            # disagree; floor of the identical IEEE754 double is portable
+            F.floor(
+                (
+                    F.lit(0.3) * F.least(F.col("n_tokens") / F.lit(200.0), F.lit(1.0))
+                    + F.lit(0.3) * (F.col("n_unique") / F.col("n_tokens"))
+                    + F.lit(0.2) * (F.lit(1.0) - F.col("n_stop") / F.col("n_tokens"))
+                    + F.lit(0.2) * F.least(F.col("char_sum") / F.col("n_tokens") / F.lit(8.0), F.lit(1.0))
+                )
+                * F.lit(1e6)
+            )
+            / F.lit(1e6),
+        )
+        .select("docid", "n_tokens", "uniq_ratio", "stop_ratio", "mean_len", "quality")
+    )
+
+
+def lang_id(
+    df: DataFrame, docid: str = "doc_id", text: str = "text"
+) -> DataFrame:
+    """(docid, pred_lang, best_hits) — marker-token language classifier.
+
+    Scores each language by marker-token occurrences; argmax with a fixed
+    priority tie-break (en, de, es, fr; 'und' = undetermined when no marker
+    hits). The greatest-of-struct argmax stays JVM-side."""
+    toks = tokens_col(text)
+    langs = list(LANG_MARKERS)
+    sel = [F.col(docid).alias("docid")]
+    for lang in langs:
+        markers = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+        sel.append(
+            F.size(F.filter(toks, lambda x: F.array_contains(markers, x))).alias(f"hits_{lang}")
+        )
+    base = df.select(*sel)
+    # argmax via greatest(struct(hits, -priority)): higher hits win, then
+    # earlier-listed language
+    cands = [
+        F.struct(
+            F.col(f"hits_{lang}").alias("h"),
+            F.lit(-i).alias("negp"),
+            F.lit(lang).alias("lang"),
+        )
+        for i, lang in enumerate(langs)
+    ]
+    best = F.greatest(*cands)
+    return base.select(
+        "docid",
+        F.when(best.getField("h") > 0, best.getField("lang"))
+        .otherwise(F.lit("und"))
+        .alias("pred_lang"),
+        best.getField("h").alias("best_hits"),
+    )
+
+
+def fingerprint(
+    df: DataFrame, docid: str = "doc_id", text: str = "text"
+) -> DataFrame:
+    """(docid, fp) — md5 digest of the token-normalized content (lower,
+    punctuation collapsed). Identical content ⇒ identical fp regardless of
+    spacing/case — the content-dedup key (Crawler.java:519-525 analogue)."""
+    return df.select(
+        F.col(docid).alias("docid"),
+        F.md5(F.concat_ws(" ", tokens_col(text))).alias("fp"),
+    )
+
+
+def extract_pattern_tokens(
+    df: DataFrame,
+    pattern: str,
+    docid: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """(docid, token) — distinct tokens fully matching ``pattern``.
+    With pattern=^[0-9]{5}$ + range filter this is the reference's
+    zip-code extractor (IndexerProject.java:362-376)."""
+    toks = tokens_col(text)
+    return (
+        df.select(
+            F.col(docid).alias("docid"),
+            F.explode(F.filter(toks, lambda x: x.rlike(pattern))).alias("token"),
+        )
+        .distinct()
+    )
+
+
+def zipcodes(df: DataFrame, docid: str = "doc_id", text: str = "text") -> DataFrame:
+    """(docid, zipcode) — 5-digit tokens in [00501, 99950]."""
+    return (
+        extract_pattern_tokens(df, "^[0-9]{5}$", docid, text)
+        .withColumn("z", F.col("token").cast("int"))
+        .filter((F.col("z") >= 501) & (F.col("z") <= 99950))
+        .select("docid", F.col("token").alias("zipcode"))
+    )
+
+
+def autocomplete(
+    terms: DataFrame, prefix: str, k: int = 10, term: str = "term", df_col: str = "df"
+) -> DataFrame:
+    """(term, df) — top-k completions of ``prefix`` by document frequency
+    (desc, then term asc). Declarative replacement for the reference trie;
+    on a term-sorted table the LIKE 'p%' predicate prunes to one range."""
+    return (
+        terms.filter(F.col(term).startswith(prefix))
+        .select(term, df_col)
+        .orderBy(F.col(df_col).desc(), F.col(term).asc())
+        .limit(k)
+    )

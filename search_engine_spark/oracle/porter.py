@@ -12,6 +12,8 @@ Words of length <= 2 are returned unchanged, per the paper.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 _VOWELS = frozenset("aeiou")
 
 
@@ -101,6 +103,7 @@ _STEP4 = [
 ]
 
 
+@lru_cache(maxsize=1 << 18)
 def porter_stem(word: str) -> str:
     """Stem a lowercase word with the Porter (1980) algorithm."""
     if len(word) <= 2:

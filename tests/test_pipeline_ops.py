@@ -1,0 +1,248 @@
+"""Tests for dedup / similarity / textstats / multimodal operators."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.functions.hashing import md5_int_py, md5_int32_py
+from search_engine_spark.operators import dedup as D
+from search_engine_spark.operators import multimodal as M
+from search_engine_spark.operators import similarity as S
+from search_engine_spark.operators import textstats as TS
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),
+        (2, "completely different content about spark engines"),
+        (3, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (4, "der hund ist nicht mit der katze und der maus"),
+        (5, "el gato que vive en la casa es un animal"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs):
+    groups = {
+        r["keep_docid"]: r["n_dupes"]
+        for r in D.exact_dedup_groups(docs).collect()
+    }
+    assert groups[0] == 2  # docs 0 and 3
+    kept = sorted(r["doc_id"] for r in D.exact_dedup(docs).collect())
+    assert kept == [0, 1, 2, 4, 5]
+
+
+def test_shingles_and_jaccard(spark, docs):
+    sh = {
+        r["docid"]: r["cnt"]
+        for r in D.shingles(docs)
+        .groupBy("docid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    assert sh[0] == 7  # 9 tokens → 7 trigrams, all distinct
+    pairs = {(r["a"], r["b"]): r["jaccard"] for r in D.jaccard_pairs(docs, 0.3).collect()}
+    assert (0, 3) in pairs and pairs[(0, 3)] == 1.0
+    assert (0, 1) in pairs  # 6 of 8 union shingles shared
+    assert all(j >= 0.3 for j in pairs.values())
+
+
+def test_minhash_matches_python(spark, docs):
+    sigs = {r["docid"]: r for r in D.minhash_signatures(docs).collect()}
+
+    def py_sig(text, j):
+        toks = text.split()
+        sh = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+        return min(md5_int_py(s, seed=j) for s in sh)
+
+    for did, text in [(0, "the quick brown fox jumps over the lazy dog")]:
+        for j in range(8):
+            assert sigs[did][f"mh{j}"] == py_sig(text, j)
+    # exact duplicates share full signatures
+    assert all(sigs[0][f"mh{j}"] == sigs[3][f"mh{j}"] for j in range(8))
+
+
+def test_lsh_finds_dup_pairs(spark, docs):
+    out = {(r["a"], r["b"]) for r in D.minhash_dedup_pairs(docs, 0.5).collect()}
+    assert (0, 3) in out
+    exact = {(r["a"], r["b"]) for r in D.jaccard_pairs(docs, 0.5).collect()}
+    assert out.issubset(exact)  # LSH+verify never invents pairs
+
+
+def test_simhash_matches_python(spark, docs):
+    got = {r["docid"]: r["simhash"] for r in D.simhash(docs).collect()}
+
+    def py_simhash(text):
+        from collections import Counter
+
+        tf = Counter(text.split())
+        bits = [0] * 32
+        for term, n in tf.items():
+            h = md5_int32_py(term)
+            for b in range(32):
+                bits[b] += n if (h >> b) & 1 else -n
+        return sum(1 << b for b in range(32) if bits[b] > 0)
+
+    for did, text in [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (2, "completely different content about spark engines"),
+    ]:
+        assert got[did] == py_simhash(text)
+    assert got[0] == got[3]
+
+
+def test_simhash_near_pairs(spark, docs):
+    pairs = {(r["a"], r["b"]): r["hamming"] for r in
+             D.simhash_near_pairs(docs, max_hamming=3).collect()}
+    assert pairs.get((0, 3)) == 0
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(60):
+        v = rng.standard_normal(16)
+        v = v / np.linalg.norm(v)
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_exact(spark, emb):
+    import numpy as np
+
+    rows = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    q = rows[0]
+    got = [(r["vec_id"], r["cos"]) for r in
+           S.cosine_topk(emb, q, k=5, exclude_self=0).collect()]
+    sims = sorted(
+        (
+            (round(float(np.dot(np.array(v, dtype=np.float64), np.array(q, dtype=np.float64))
+                   / (np.linalg.norm(np.array(v, dtype=np.float64)) * np.linalg.norm(np.array(q, dtype=np.float64)))), 6), i)
+            for i, v in rows.items()
+            if i != 0
+        ),
+        key=lambda t: (-t[0], t[1]),
+    )
+    want = [(i, c) for c, i in sims[:5]]
+    assert [i for i, _ in got] == [i for i, _ in want]
+    for (gi, gc), (wi, wc) in zip(got, want):
+        assert gc == pytest.approx(wc, abs=2e-6)
+
+
+def test_knn_join_ranks(spark, emb):
+    out = S.knn_join(emb, [0, 1], k=3).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["qid"], []).append((r["rank"], r["vec_id"], r["cos"]))
+    assert set(by_q) == {0, 1}
+    for q, rows in by_q.items():
+        rows.sort()
+        assert [r[0] for r in rows] == [1, 2, 3]
+        assert all(rows[i][2] >= rows[i + 1][2] for i in range(len(rows) - 1))
+        assert all(r[1] != q for r in rows)
+
+
+def test_lsh_topk_subset_of_exact(spark, emb):
+    rows = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    q = [float(x) for x in rows[0]]
+    approx = [r["vec_id"] for r in S.lsh_topk(emb, q, k=5, n_planes=4).collect()]
+    # the query's own bucket contains vec 0 itself → rank-1 hit
+    assert approx[0] == 0
+    assert len(approx) == 5
+
+
+def test_ivf_probes_only_cells(spark, emb):
+    rows = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    pivots = [(i, [float(x) for x in rows[i]]) for i in range(4)]
+    q = [float(x) for x in rows[0]]
+    got = [r["vec_id"] for r in S.ivf_topk(emb, pivots, q, k=5, nprobe=2).collect()]
+    assert got[0] == 0  # query vector itself in nearest cell
+    assigned = S.ivf_assign(emb, pivots)
+    n_cells = assigned.select("cell").distinct().count()
+    assert 1 < n_cells <= 4
+
+
+def test_lang_id(spark, docs):
+    got = {r["docid"]: r["pred_lang"] for r in TS.lang_id(docs).collect()}
+    assert got[0] == "en" and got[4] == "de" and got[5] == "es"
+
+
+def test_quality_monotonic(spark, docs):
+    q = {r["docid"]: r["quality"] for r in TS.quality_score(docs).collect()}
+    # repetitive stopword-heavy doc scores below diverse content doc
+    assert q[2] > q[0]
+    assert all(0.0 <= v <= 1.0 for v in q.values())
+
+
+def test_token_counts_and_fingerprint(spark, docs):
+    tc = {r["docid"]: (r["n_tokens"], r["n_unique"]) for r in TS.token_counts(docs).collect()}
+    assert tc[0] == (9, 8)
+    fp = {r["docid"]: r["fp"] for r in TS.fingerprint(docs).collect()}
+    assert fp[0] == fp[3] and fp[0] != fp[1]
+
+
+def test_zipcodes(spark):
+    df = spark.createDataFrame(
+        [(1, "call 00501 or 99950 not 00001 99999 x 1234 567890")],
+        "doc_id long, text string",
+    )
+    got = sorted(r["zipcode"] for r in TS.zipcodes(df).collect())
+    assert got == ["00501", "99950"]  # 99999 > 99950, 00001 < 00501 excluded
+    assert "00001" not in got and "1234" not in got
+
+
+# --- multimodal -------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def media(spark):
+    return M.gen_media_df(spark, 30, partitions=4)
+
+
+def test_decode_images(spark, media):
+    out = {r["media_id"]: r for r in M.decode_images(media).collect()}
+    metas = {r["media_id"]: r["meta"] for r in media.filter("kind='image'").collect()}
+    assert set(out) == set(metas)
+    for mid, r in out.items():
+        assert (r["width"], r["height"]) == (metas[mid]["width"], metas[mid]["height"])
+        assert 0.0 <= r["mean_px"] <= 255.0
+
+
+def test_decode_rejects_unknown_format(spark):
+    import pandas as pd
+
+    with pytest.raises(NotImplementedError):
+        M._decode_payload(b"\x89PNG....")
+
+
+def test_resize_images(spark, media):
+    out = M.resize_images(media, 4, 4).collect()
+    assert all(r["width"] == 4 and r["height"] == 4 for r in out)
+    assert all(len(bytes(r["payload"])) == 12 + 16 for r in out)
+
+
+def test_extract_features_unit_norm(spark, media):
+    import numpy as np
+
+    out = M.extract_features(media, dim=16).collect()
+    assert len(out) == 30
+    for r in out:
+        v = np.array(r["embedding"], dtype=np.float64)
+        assert v.shape == (16,)
+        assert abs(np.linalg.norm(v) - 1.0) < 1e-5
+
+
+def test_sample_frames(spark, media):
+    vids = {r["media_id"]: r["meta"]["n_frames"] for r in media.filter("kind='video'").collect()}
+    out = M.sample_frames(media, every_k=8).collect()
+    by_m = {}
+    for r in out:
+        by_m.setdefault(r["media_id"], []).append(r["frame_idx"])
+    assert set(by_m) == set(vids)
+    for mid, idxs in by_m.items():
+        assert idxs == list(range(0, vids[mid], 8))
