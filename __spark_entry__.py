@@ -56,9 +56,14 @@ STOP_LIST = ", ".join(f"'{s}'" for s in sorted(STOPWORDS))
 # Index cache: build the block index over the sf documents table once
 # ---------------------------------------------------------------------------
 
+INDEX_FORMAT = 2  # bump when the on-disk block format/semantics change
+
+
 def _cached_index(spark: SparkSession, sf_dir: str) -> IQ.Index:
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    out = os.path.join(tempfile.gettempdir(), f"se_spark_idx_{key}")
+    out = os.path.join(
+        tempfile.gettempdir(), f"se_spark_idx_v{INDEX_FORMAT}_{key}"
+    )
     if not os.path.exists(os.path.join(out, "stats.json")):
         docs = _t(spark, sf_dir, "documents").select(
             F.col("doc_id").cast("string").alias("url"),

@@ -1,0 +1,58 @@
+"""spark-submit entrypoint for batch query evaluation.
+
+    spark-submit --py-files se_spark.zip jobs/query_job.py \
+        --index <index dir> --queries "prince andrew" "historic event" [-k 100]
+
+Prints one JSON line per query: {"query": ..., "topk": [[docid, score], ...]}.
+Uses the driver-side Block-Max WAND (exact) — for bulk query sets the
+distributed plan (operators/query.topk_distributed) amortizes better.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index", required=True)
+    ap.add_argument("--queries", nargs="+", required=True)
+    ap.add_argument("-k", type=int, default=100)
+    ap.add_argument("--distributed", action="store_true")
+    ap.add_argument("--cores", type=int, default=None)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    if args.cores:
+        from search_engine_spark.session import get_spark
+
+        spark = get_spark(app_name="query", cores=args.cores)
+    else:
+        spark = SparkSession.builder.appName("query").getOrCreate()
+
+    from search_engine_spark.operators import query as Q
+
+    idx = Q.load_index(spark, args.index)
+    doclen = None
+    if not args.distributed:
+        doclen = {
+            r["docid"]: r["dl"]
+            for r in idx.docs.select("docid", "dl").collect()
+        }
+    for q in args.queries:
+        if args.distributed:
+            rows = Q.topk_distributed(idx, q, k=args.k).collect()
+            topk = [[r["docid"], r["score"]] for r in rows]
+        else:
+            topk = [[d, s] for d, s in Q.topk_wand(idx, q, k=args.k, doclen=doclen)]
+        print(json.dumps({"query": q, "topk": topk}))
+
+
+if __name__ == "__main__":
+    main()

@@ -231,3 +231,53 @@ def split_blocks(
             b_doc[-1],
             len(b_doc),
         )
+
+
+def encode_positions(plist: list[int]) -> bytes:
+    """Per-posting positions section: varint n_pos, varint first, varint
+    gaps — exactly the block format's per-posting layout, so a block's
+    positions region is the raw concatenation of these. Fast path: all
+    values < 128 encode as single bytes."""
+    n = len(plist)
+    if n == 0:
+        return b"\x00"
+    first = plist[0]
+    if n < 128 and first < 128:
+        gaps = [n, first]
+        ok = True
+        prev = first
+        for p in plist[1:]:
+            g = p - prev
+            if g >= 128:
+                ok = False
+                break
+            gaps.append(g)
+            prev = p
+        if ok:
+            return bytes(gaps)
+    out = bytearray()
+    varint_encode(n, out)
+    varint_encode(first, out)
+    prev = first
+    for p in plist[1:]:
+        varint_encode(p - prev, out)
+        prev = p
+    return bytes(out)
+
+
+def encode_block_posbytes(
+    docids: "np.ndarray", tfs: "np.ndarray", posbytes: bytes
+) -> bytes:
+    """``encode_block`` with the positions region supplied pre-encoded
+    (concatenation of ``encode_positions`` outputs in docid order)."""
+    n = len(docids)
+    head = np.empty(1 + n, dtype=np.int64)
+    head[0] = n
+    if n == 0:
+        return varints_vec(head[:1])
+    head[1] = docids[0]
+    head[2:] = np.diff(docids)
+    if np.any(head[2:] <= 0):
+        raise ValueError("docids must be strictly ascending")
+    vals = np.concatenate([head, tfs.astype(np.int64, copy=False)])
+    return varints_vec(vals) + posbytes

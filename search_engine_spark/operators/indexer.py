@@ -6,14 +6,14 @@ KVS `batchPut` writes keyed by term) with an explicit, declarative Spark
 plan:
 
     pages ──filter(lang)──> docid assignment (distributed dense rank)
-          ──mapInPandas(tokenize: extraction-parity tokenizer + Porter
-            dual-indexing)──> (docid, term, tf, positions, dl)
+          ──mapInArrow(tokenize: extraction-parity tokenizer + Porter
+            dual-indexing)──> (docid, term, tf, positions-bytes, dl)
           ──groupBy(term).agg──> term stats (df, cf, idf)
           ──heavy-term detection──> bucket postings by docid range for
             skewed terms (explicit skew handling per north_rule)
-          ──applyInPandas(encode)──> delta-gap+varint posting BLOCKS with
-            block-max BM25 metadata (functions/codec.py)
-          ──repartitionByRange(term).sortWithinPartitions──> parquet
+          ──repartitionByRange(term,bucket) + sortWithinPartitions +
+            mapInArrow(stream encoder)──> delta-gap+varint posting BLOCKS
+            with block-max BM25 metadata (functions/codec.py) → parquet
 
 Scale design notes (the parts that must survive 10^12 docs):
 
@@ -56,14 +56,18 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from search_engine_spark.functions.codec import DEFAULT_BLOCK_SIZE
 from search_engine_spark.oracle.bm25 import bm25_idf
-from search_engine_spark.oracle.text import tokenize
+from search_engine_spark.oracle.text import doc_postings
 
 # A "heavy" term's postings are split into docid-range buckets of this many
 # postings (expected), keeping encode tasks bounded regardless of term skew.
 DEFAULT_POSTINGS_PER_BUCKET = 50_000
 
+# positions carried as pre-encoded varint bytes (codec.encode_positions):
+# the block format's per-posting positions section verbatim, so block
+# assembly is pure byte concatenation and the term shuffle moves flat
+# binary instead of per-row integer arrays (≈3× lighter rows).
 POSTINGS_SCHEMA = (
-    "docid long, term string, tf int, positions array<int>, dl int"
+    "docid long, term string, tf int, positions binary, dl int"
 )
 
 BLOCKS_SCHEMA = (
@@ -77,56 +81,219 @@ BLOCKS_SCHEMA = (
 # ---------------------------------------------------------------------------
 
 def assign_docids(
-    pages: DataFrame, partitions: int | None = None
+    pages: DataFrame,
+    partitions: int | None = None,
+    scratch_dir: str | None = None,
 ) -> DataFrame:
     """(url, text, …) → same plus dense ``docid`` = rank of url (0-based).
 
-    Deterministic for a fixed corpus and scale-safe: range-partition by url,
-    count per partition (tiny driver collect: one long per partition),
-    prefix-sum offsets, then add offset + within-partition ordinal in a
-    single mapInPandas pass. Equivalent to
-    ``row_number() over (order by url) - 1`` without the single-partition
-    window (reference's sequential counter: IndexerProject.java:210-235).
+    Scale-safe distributed dense rank, equivalent to
+    ``row_number() over (order by url) - 1`` with no single-partition window
+    (the reference's sequential driver counter,
+    IndexerProject.java:210-235, is the anti-pattern this replaces):
+
+      1. range-partition by url, sort within partitions, tag
+         ``spark_partition_id`` and MATERIALIZE the snapshot to
+         ``scratch_dir``. The write pins one sampling of the range
+         boundaries — ``repartitionByRange`` re-samples per action, so an
+         unmaterialized plan could assign different partition ids between
+         the counting pass and downstream consumers (a silent duplicate-id
+         bug; caught by an ascending-docid assertion in the block encoder).
+      2. per-partition counts (driver holds one long per partition),
+         prefix-sum → partition offsets.
+      3. docid = offset[_pid] + (row_number over _pid ordered by url) − 1 —
+         windows are per-partition, bounded by the chunk size.
+
+    On a cluster ``scratch_dir`` must be shared storage (the docs-table
+    staging area); it defaults to a local temp dir here.
     """
+    import tempfile
+
     spark = pages.sparkSession
     parts = partitions or spark.sparkContext.defaultParallelism
-    ranged = (
+    if scratch_dir is None:
+        scratch_dir = tempfile.mkdtemp(prefix="se_docids_")
+    snap_path = os.path.join(scratch_dir, "ranged_snapshot")
+    (
         pages.repartitionByRange(parts, "url")
         .sortWithinPartitions("url")
         .withColumn("_pid", F.spark_partition_id())
+        .write.mode("overwrite")
+        .option("compression", "lz4")
+        .parquet(snap_path)
     )
+    snap = spark.read.parquet(snap_path)
     counts = {
         r["_pid"]: r["cnt"]
-        for r in ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+        for r in snap.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
     }
-    offsets = {}
+    offsets: dict[int, int] = {}
     acc = 0
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
-    b_offsets = spark.sparkContext.broadcast(offsets)
 
-    out_schema = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}" for f in ranged.schema.fields
-        if f.name != "_pid"
-    ) + ", docid long"
-    cols = [f.name for f in ranged.schema.fields if f.name != "_pid"]
+    from pyspark.sql import Window
 
-    def add_ids(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        seen = 0
-        pid = None
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            if pid is None:
-                pid = int(pdf["_pid"].iloc[0])
-                base = b_offsets.value[pid]
-            out = pdf[cols].copy()
-            out["docid"] = range(base + seen, base + seen + len(pdf))
-            seen += len(pdf)
-            yield out
+    offset_map = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )
+    w = Window.partitionBy("_pid").orderBy("url")
+    return (
+        snap.withColumn(
+            "docid",
+            offset_map[F.col("_pid")] + F.row_number().over(w) - 1,
+        )
+        .drop("_pid")
+    )
 
-    return ranged.mapInPandas(add_ids, schema=out_schema)
+
+# ---------------------------------------------------------------------------
+# Stage 1b: fused docid assignment + tokenize (no window shuffle)
+# ---------------------------------------------------------------------------
+
+def _docid_offsets(spark, snap_path: str) -> dict[int, int]:
+    """Per-partition docid offsets from the materialized ranged snapshot."""
+    snap = spark.read.parquet(snap_path)
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in snap.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    return offsets
+
+
+class _RunningIds:
+    """Streaming docid assignment over batches of the ranged snapshot.
+
+    Rows of one ``_pid`` arrive as ONE contiguous run per task (parquet
+    preserves in-file row order; snapshot files are written one per
+    partition and read whole). docid = offset[pid] + ordinal within the
+    run. The closed-set assertion turns any violation of the contiguity
+    assumption (e.g. a snapshot file split across read tasks after a
+    mis-configured ``maxPartitionBytes``) into a loud failure instead of
+    silent misnumbering.
+    """
+
+    def __init__(self, offsets: dict[int, int]):
+        self.offsets = offsets
+        self.counters: dict[int, int] = {}
+        self.closed: set[int] = set()
+        self.current: int | None = None
+
+    def assign(self, pids) -> "list[int]":
+        out = []
+        for pid in pids:
+            pid = int(pid)
+            if pid != self.current:
+                if self.current is not None:
+                    self.closed.add(self.current)
+                if pid in self.closed:
+                    raise RuntimeError(
+                        f"snapshot partition {pid} arrived non-contiguously; "
+                        "docid assignment would be wrong (file split?)"
+                    )
+                self.current = pid
+                self.counters.setdefault(pid, 0)
+            base = self.offsets[pid]
+            out.append(base + self.counters[pid])
+            self.counters[pid] += 1
+        return out
+
+
+def docid_url_table(spark, snap_path: str, offsets: dict[int, int]) -> DataFrame:
+    """(docid, url) from the snapshot — column-pruned read, no shuffle."""
+    import pyarrow as pa
+
+    snap = spark.read.parquet(snap_path).select("url", "_pid")
+    b_off = spark.sparkContext.broadcast(offsets)
+
+    def run(batches):
+        ids = _RunningIds(b_off.value)
+        for batch in batches:
+            urls = batch.column(0)
+            docids = ids.assign(batch.column(1).to_pylist())
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(docids, pa.int64()), urls], names=["docid", "url"]
+            )
+
+    return snap.mapInArrow(run, schema="docid long, url string")
+
+
+def tokenize_postings_from_snapshot(
+    spark,
+    snap_path: str,
+    offsets: dict[int, int],
+    stem: bool = True,
+    cap: int | None = None,
+) -> DataFrame:
+    """Fused stage 1b+2: stream the ranged snapshot, assign docids on the
+    fly (no window, no extra shuffle of the text) and tokenize."""
+    import numpy as np
+    import pyarrow as pa
+
+    from search_engine_spark.functions.codec import encode_positions
+
+    snap = spark.read.parquet(snap_path).select("url", "text", "_pid")
+    b_off = spark.sparkContext.broadcast(offsets)
+    kw = {} if cap is None else {"cap": cap}
+
+    out_schema = pa.schema(
+        [
+            ("docid", pa.int64()),
+            ("term", pa.string()),
+            ("tf", pa.int32()),
+            ("positions", pa.binary()),
+            ("dl", pa.int32()),
+        ]
+    )
+
+    def run(batches):
+        ids = _RunningIds(b_off.value)
+        o_docid: list[int] = []
+        o_term: list[str] = []
+        o_tf: list[int] = []
+        o_dl: list[int] = []
+        o_pos: list[bytes] = []
+
+        def flush():
+            out = pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.asarray(o_docid, dtype=np.int64)),
+                    pa.array(o_term, pa.string()),
+                    pa.array(np.asarray(o_tf, dtype=np.int32)),
+                    pa.array(o_pos, pa.binary()),
+                    pa.array(np.asarray(o_dl, dtype=np.int32)),
+                ],
+                schema=out_schema,
+            )
+            o_docid.clear(); o_term.clear(); o_tf.clear()
+            o_dl.clear(); o_pos.clear()
+            return out
+
+        for batch in batches:
+            texts_in = batch.column(1).to_pylist()
+            docids_in = ids.assign(batch.column(2).to_pylist())
+            for did, txt in zip(docids_in, texts_in):
+                per_term, dl = doc_postings(txt or "", stem=stem, **kw)
+                for term, plist in per_term.items():
+                    o_docid.append(did)
+                    o_term.append(term)
+                    o_tf.append(len(plist))
+                    o_dl.append(dl)
+                    o_pos.append(encode_positions(plist))
+                # bounded output batches: one batch per input batch can hit
+                # 100+ MB of arrow direct memory on the JVM reader side
+                if len(o_docid) >= 131_072:
+                    yield flush()
+        if o_docid:
+            yield flush()
+
+    return snap.mapInArrow(run, schema=POSTINGS_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -148,41 +315,55 @@ def tokenize_postings(
     1500-token cap, plus the document length ``dl`` (number of capped valid
     positions) repeated on every row so BM25 stats need no extra join.
     """
+    import numpy as np
+    import pyarrow as pa
+
     src = docs.select(F.col(docid).alias("docid"), F.col(text).alias("text"))
     kw = {} if cap is None else {"cap": cap}
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows_docid: list[int] = []
-            rows_term: list[str] = []
-            rows_tf: list[int] = []
-            rows_pos: list[list[int]] = []
-            rows_dl: list[int] = []
-            for did, txt in zip(pdf["docid"], pdf["text"]):
-                pairs = tokenize(txt or "", stem=stem, **kw)
-                per_term: dict[str, list[int]] = {}
-                dl = 0
-                for term, pos in pairs:
-                    per_term.setdefault(term, []).append(pos)
-                    if pos > dl:
-                        dl = pos
+    from search_engine_spark.functions.codec import encode_positions
+
+    out_schema = pa.schema(
+        [
+            ("docid", pa.int64()),
+            ("term", pa.string()),
+            ("tf", pa.int32()),
+            ("positions", pa.binary()),
+            ("dl", pa.int32()),
+        ]
+    )
+
+    def run(batches):
+        # arrow-native output; positions emitted as the block format's
+        # per-posting varint section (flat binary — no integer arrays).
+        for batch in batches:
+            docids_in = batch.column(0).to_pylist()
+            texts_in = batch.column(1).to_pylist()
+            o_docid: list[int] = []
+            o_term: list[str] = []
+            o_tf: list[int] = []
+            o_dl: list[int] = []
+            o_pos: list[bytes] = []
+            for did, txt in zip(docids_in, texts_in):
+                per_term, dl = doc_postings(txt or "", stem=stem, **kw)
                 for term, plist in per_term.items():
-                    rows_docid.append(int(did))
-                    rows_term.append(term)
-                    rows_tf.append(len(plist))
-                    rows_pos.append(plist)
-                    rows_dl.append(dl)
-            yield pd.DataFrame(
-                {
-                    "docid": pd.Series(rows_docid, dtype="int64"),
-                    "term": rows_term,
-                    "tf": pd.Series(rows_tf, dtype="int32"),
-                    "positions": rows_pos,
-                    "dl": pd.Series(rows_dl, dtype="int32"),
-                }
+                    o_docid.append(did)
+                    o_term.append(term)
+                    o_tf.append(len(plist))
+                    o_dl.append(dl)
+                    o_pos.append(encode_positions(plist))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.asarray(o_docid, dtype=np.int64)),
+                    pa.array(o_term, pa.string()),
+                    pa.array(np.asarray(o_tf, dtype=np.int32)),
+                    pa.array(o_pos, pa.binary()),
+                    pa.array(np.asarray(o_dl, dtype=np.int32)),
+                ],
+                schema=out_schema,
             )
 
-    return src.mapInPandas(run, schema=POSTINGS_SCHEMA)
+    return src.mapInArrow(run, schema=POSTINGS_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -226,13 +407,13 @@ def build_blocks_arrow(
     batches — positions stay a flat values+offsets ListArray end to end (no
     per-row Python lists), and the output is already term-range-laid-out
     for the parquet write (no second shuffle). Heavy terms are docid-range
-    bucketed exactly as in ``build_blocks``.
+    bucketed (deterministic docid ranges; see module docstring).
     """
     import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    from search_engine_spark.functions.codec import encode_block_arrays
+    from search_engine_spark.functions.codec import encode_block_posbytes
     from search_engine_spark.oracle.bm25 import B, K1
 
     spark = postings.sparkSession
@@ -275,15 +456,22 @@ def build_blocks_arrow(
         docid = tbl.column("docid").to_numpy()
         tf = tbl.column("tf").to_numpy().astype(np.int64, copy=False)
         dl = tbl.column("dl").to_numpy().astype(np.float64, copy=False)
+    # positions: a BinaryArray = uint8 values buffer + offsets; block
+        # positions regions are raw slices of the values buffer (zero-copy,
+        # no per-row Python objects)
         pos = tbl.column("positions")
         pos = pos.chunk(0) if isinstance(pos, pa.ChunkedArray) else pos
-        offs = pos.offsets.to_numpy().astype(np.int64, copy=False)
+        off_buf = np.frombuffer(pos.buffers()[1], dtype=np.int32)
+        offs = off_buf[pos.offset : pos.offset + len(pos) + 1].astype(np.int64)
         base = offs[0]
         offs = offs - base
-        flat = pos.values.to_numpy().astype(np.int64, copy=False)
-        flat = flat[base : base + offs[-1]] if len(offs) else flat[:0]
-        terms_np = tbl.column("term").to_numpy(zero_copy_only=False)
-        bucket_np = tbl.column("bucket").to_numpy()
+        raw = np.frombuffer(pos.buffers()[2], dtype=np.uint8)
+        raw = raw[base : base + offs[-1]] if len(offs) else raw[:0]
+        # materialize term/bucket ONLY at group starts (a full to_numpy of
+        # the string column would allocate one Python object per row)
+        starts_idx = pa.array(starts, pa.int64())
+        g_terms = tbl.column("term").take(starts_idx).to_pylist()
+        g_buckets = tbl.column("bucket").take(starts_idx).to_pylist()
         norm = tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / avgdl))
         bounds = np.append(starts, len(tbl))
         o_term, o_bucket, o_bid, o_first, o_last, o_n, o_max, o_blob = (
@@ -291,14 +479,13 @@ def build_blocks_arrow(
         )
         for gi in range(len(starts)):
             g0, g1 = int(bounds[gi]), int(bounds[gi + 1])
-            t, bk = terms_np[g0], int(bucket_np[g0])
+            t, bk = g_terms[gi], int(g_buckets[gi])
             for bi, s in enumerate(range(g0, g1, block_size)):
                 e = min(s + block_size, g1)
-                blob = encode_block_arrays(
+                blob = encode_block_posbytes(
                     docid[s:e],
                     tf[s:e],
-                    flat[offs[s] : offs[e]],
-                    np.diff(offs[s : e + 1]),
+                    raw[offs[s] : offs[e]].tobytes(),
                 )
                 o_term.append(t)
                 o_bucket.append(bk)
@@ -354,113 +541,6 @@ def build_blocks_arrow(
     return tagged.mapInArrow(encode_stream, schema=BLOCKS_SCHEMA)
 
 
-def build_blocks(
-    postings: DataFrame,
-    terms: DataFrame,
-    n_docs: int,
-    avgdl: float,
-    postings_per_bucket: int = DEFAULT_POSTINGS_PER_BUCKET,
-    block_size: int = DEFAULT_BLOCK_SIZE,
-    with_positions: bool = True,
-) -> DataFrame:
-    """Encode posting lists into compressed blocks with block-max metadata
-    (block_max stored idf-normalized: max of tf·(k1+1)/(tf+k1·(1−b+b·dl/avgdl))
-    over the block; the query engine multiplies the per-term idf back in).
-
-    Heavy terms (df > postings_per_bucket) are split into deterministic
-    docid-range buckets — ``bucket = docid // bucket_span`` — so no encode
-    task sees more than ~postings_per_bucket rows; light terms use bucket 0.
-    Because buckets partition the docid space in order, reading blocks in
-    (bucket, block_id) order restores the globally sorted posting list
-    without a merge (SURVEY.md §7 stage 4).
-    """
-    # bucket span in docid units chosen so an AVERAGE-density heavy term
-    # gets ~postings_per_bucket postings per bucket; worst case (df = N,
-    # every doc) gives exactly postings_per_bucket.
-    bucket_span = max(1, postings_per_bucket)
-    # heavy set is tiny by Zipf (only terms with df > bucket size) → safe
-    # broadcast at any corpus scale; light terms are many but each small.
-    heavy = terms.filter(F.col("df") > postings_per_bucket).select("term")
-
-    tagged = (
-        postings.join(F.broadcast(heavy.withColumn("_heavy", F.lit(True))),
-                      "term", "left")
-        .withColumn(
-            "bucket",
-            F.when(
-                F.col("_heavy").isNotNull(),
-                (F.col("docid") / F.lit(bucket_span)).cast("int"),
-            ).otherwise(F.lit(0)),
-        )
-        .drop("_heavy")
-    )
-    # block_max is stored WITHOUT the idf factor (idf is a per-term
-    # constant; the query side multiplies it in). This avoids joining the
-    # full term-stats table into the posting stream — at web scale the
-    # vocabulary is far too large to broadcast and the join would be a
-    # second full shuffle of the posting data.
-
-    import numpy as np
-
-    from search_engine_spark.functions.codec import encode_block_arrays
-    from search_engine_spark.oracle.bm25 import B, K1
-
-    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("docid")
-        term = pdf["term"].iloc[0]
-        bucket = int(pdf["bucket"].iloc[0])
-        docids = pdf["docid"].to_numpy(dtype=np.int64)
-        tfs = pdf["tf"].to_numpy(dtype=np.int64)
-        dls = pdf["dl"].to_numpy(dtype=np.float64)
-        # idf-NORMALIZED per-posting BM25 partials (block_max excludes the
-        # per-term idf constant; query side multiplies it in), vectorized
-        scores = (
-            tfs * (K1 + 1.0)
-            / (tfs + K1 * (1.0 - B + B * dls / avgdl))
-        )
-        if with_positions:
-            plists = pdf["positions"].tolist()
-            pos_lens = np.fromiter(
-                (len(p) for p in plists), dtype=np.int64, count=len(plists)
-            )
-            pos_flat = (
-                np.concatenate([np.asarray(p, dtype=np.int64) for p in plists])
-                if pos_lens.sum() > 0
-                else np.empty(0, dtype=np.int64)
-            )
-            pos_offsets = np.concatenate([[0], np.cumsum(pos_lens)])
-        rows = []
-        for bi, s in enumerate(range(0, len(docids), block_size)):
-            e = min(s + block_size, len(docids))
-            if with_positions:
-                blob = encode_block_arrays(
-                    docids[s:e],
-                    tfs[s:e],
-                    pos_flat[pos_offsets[s] : pos_offsets[e]],
-                    pos_lens[s:e],
-                )
-            else:
-                blob = encode_block_arrays(docids[s:e], tfs[s:e], None, None)
-            rows.append(
-                (
-                    term, bucket, bi,
-                    int(docids[s]), int(docids[e - 1]), e - s,
-                    float(scores[s:e].max()), blob,
-                )
-            )
-        return pd.DataFrame(
-            rows,
-            columns=[
-                "term", "bucket", "block_id", "first_docid",
-                "last_docid", "n", "block_max", "block",
-            ],
-        )
-
-    return tagged.groupBy("term", "bucket").applyInPandas(
-        encode, schema=BLOCKS_SCHEMA
-    )
-
-
 # ---------------------------------------------------------------------------
 # Full build
 # ---------------------------------------------------------------------------
@@ -482,26 +562,65 @@ def build_index(
     (docid assignment) and the final scalar stats.
     """
     spark = pages.sparkSession
-    src = pages.filter(F.col("lang") == lang) if lang else pages
-    docs = assign_docids(src.select("url", "text"), partitions=partitions)
-
-    postings = tokenize_postings(docs, stem=stem, cap=cap)
-    # doc table + global stats; dl is carried on posting rows — one
-    # max-aggregation, no rejoin against the corpus.
-    doc_tbl = postings.groupBy("docid").agg(F.max("dl").alias("dl")).join(
-        docs.select("docid", "url"), "docid"
-    )
-    doc_tbl.persist()
-    stats_row = doc_tbl.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
-    ).collect()[0]
-    n_docs, avgdl = int(stats_row["n_docs"]), float(stats_row["avgdl"] or 0.0)
-
-    postings.persist()
-    terms = term_stats(postings, n_docs)
-    terms.persist()
-
     parts = partitions or spark.sparkContext.defaultParallelism
+    src = pages.filter(F.col("lang") == lang) if lang else pages
+
+    # stage 1: materialize the url-range-partitioned, sorted snapshot ONCE
+    # (pins one sampling of the range boundaries — see assign_docids doc)
+    snap_path = os.path.join(out_dir, "_stage", "ranged_snapshot")
+    (
+        src.select("url", "text")
+        .repartitionByRange(parts, "url")
+        .sortWithinPartitions("url")
+        .withColumn("_pid", F.spark_partition_id())
+        .write.mode("overwrite")
+        .option("compression", "lz4")
+        .parquet(snap_path)
+    )
+    offsets = _docid_offsets(spark, snap_path)
+
+    # stage 2 (fused with docid assignment — no window, no extra shuffle of
+    # the text): materialize the tokenized postings ONCE as a scratch
+    # parquet table (the natural checkpoint boundary): columnar caching of
+    # 10^7+ rows does not scale with cores, a lz4 parquet roundtrip does —
+    # and every downstream consumer (doc stats, term stats, block build)
+    # reads the same snapshot.
+    raw_path = os.path.join(out_dir, "_stage", "postings_raw")
+    tokenize_postings_from_snapshot(
+        spark, snap_path, offsets, stem=stem, cap=cap
+    ).write.mode("overwrite").option("compression", "lz4").parquet(raw_path)
+    postings = spark.read.parquet(raw_path)
+
+    # doc table + global stats; dl is carried on posting rows — one
+    # max-aggregation against the column-pruned (docid, url) map.
+    doc_tbl = postings.groupBy("docid").agg(F.max("dl").alias("dl")).join(
+        docid_url_table(spark, snap_path, offsets), "docid"
+    )
+    from pyspark.sql import Observation
+
+    obs = Observation("docstats")
+    (
+        doc_tbl.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_docs"),
+            F.avg("dl").alias("avgdl"),
+        )
+        .repartitionByRange(max(1, parts // 4), "docid")
+        .sortWithinPartitions("docid")
+        .write.mode("overwrite").parquet(os.path.join(out_dir, "docs"))
+    )
+    # corpus stats piggyback on the write job (Observation) — no extra scan
+    n_docs = int(obs.get["n_docs"])
+    avgdl = float(obs.get["avgdl"] or 0.0)
+
+    terms = term_stats(postings, n_docs)
+    (
+        terms.repartitionByRange(max(1, parts // 4), "term")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite").parquet(os.path.join(out_dir, "terms"))
+    )
+    terms = spark.read.parquet(os.path.join(out_dir, "terms"))
+
     # arrow streaming encoder emits blocks already term-range-partitioned
     # and term-sorted (one shuffle total) → parquet min/max row-group
     # pruning works on term lookups with no extra exchange
@@ -511,16 +630,6 @@ def build_index(
         partitions=parts,
     )
     blocks.write.mode("overwrite").parquet(os.path.join(out_dir, "postings"))
-    (
-        terms.repartitionByRange(max(1, parts // 4), "term")
-        .sortWithinPartitions("term")
-        .write.mode("overwrite").parquet(os.path.join(out_dir, "terms"))
-    )
-    (
-        doc_tbl.repartitionByRange(max(1, parts // 4), "docid")
-        .sortWithinPartitions("docid")
-        .write.mode("overwrite").parquet(os.path.join(out_dir, "docs"))
-    )
     stats = {
         "n_docs": n_docs,
         "avgdl": avgdl,
@@ -533,9 +642,6 @@ def build_index(
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, "stats.json"), "w") as fh:
         json.dump(stats, fh, indent=1)
-    postings.unpersist()
-    terms.unpersist()
-    doc_tbl.unpersist()
     return stats
 
 

@@ -118,3 +118,35 @@ def tokenize(text: str, stem: bool = True, cap: int | None = MAX_TOKENS_PER_DOC)
             if st != tok:
                 out.append((st, pos))
     return out
+
+
+def doc_postings(text: str, stem: bool = True, cap: int | None = MAX_TOKENS_PER_DOC):
+    """Fused per-document postings: {term: [positions]} plus dl.
+
+    Semantically identical to grouping ``tokenize(text, stem, cap)`` by
+    term (tested for equality) — one pass, no intermediate pair list; this
+    is the indexer UDF's hot path.
+    """
+    per_term: dict[str, list[int]] = {}
+    pos = 0
+    for tok in _TOKEN_SPLIT_RE.split(text.lower()):
+        if not valid_word(tok):
+            continue
+        pos += 1
+        if cap is not None and pos > cap:
+            pos -= 1
+            break
+        lst = per_term.get(tok)
+        if lst is None:
+            per_term[tok] = [pos]
+        else:
+            lst.append(pos)
+        if stem:
+            st = porter_stem(tok)
+            if st != tok:
+                lst2 = per_term.get(st)
+                if lst2 is None:
+                    per_term[st] = [pos]
+                else:
+                    lst2.append(pos)
+    return per_term, pos

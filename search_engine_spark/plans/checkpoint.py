@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from search_engine_spark.operators.indexer import (
     DEFAULT_POSTINGS_PER_BUCKET,
     assign_docids,
-    build_blocks,
+    build_blocks_arrow,
     term_stats,
     tokenize_postings,
 )
@@ -72,7 +72,7 @@ def corpus_fingerprint(docs: DataFrame) -> str:
     snapshot for lineage matching. One aggregate, no collect of data."""
     row = docs.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.xxhash64("url")).alias("h"),
+        F.expr("bit_xor(xxhash64(url))").alias("h"),  # xor: no ANSI overflow
     ).collect()[0]
     return f"{row['n']}:{row['h']}"
 
@@ -152,16 +152,13 @@ def resumable_build(
     ).collect()[0]
     n_docs, avgdl = int(srow["n_docs"]), float(srow["avgdl"] or 0.0)
     terms = term_stats(postings, n_docs)
-    blocks = build_blocks(
+    parts = spark.sparkContext.defaultParallelism
+    blocks = build_blocks_arrow(
         postings, terms, n_docs, avgdl,
         postings_per_bucket=postings_per_bucket, block_size=block_size,
+        partitions=parts,
     )
-    parts = spark.sparkContext.defaultParallelism
-    (
-        blocks.repartitionByRange(parts, "term")
-        .sortWithinPartitions("term", "bucket", "block_id")
-        .write.mode("overwrite").parquet(os.path.join(out_dir, "postings"))
-    )
+    blocks.write.mode("overwrite").parquet(os.path.join(out_dir, "postings"))
     terms.repartitionByRange(max(1, parts // 4), "term").sortWithinPartitions(
         "term"
     ).write.mode("overwrite").parquet(os.path.join(out_dir, "terms"))

@@ -1,0 +1,84 @@
+"""merge_indexes(A, B) ≡ build(A ∪ B) — term stats, doc stats, and query
+results identical (MergeIndexes semantics, reference
+jobs/MergeIndexes.java:45-127).
+
+Corpora are constructed with lexically increasing urls so the union
+build's docid assignment coincides with [A docids, B docids + |A|]."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.corpus import gen_pages_df
+from search_engine_spark.operators import query as Q
+from search_engine_spark.operators.indexer import build_index
+from search_engine_spark.operators.merge import merge_indexes
+
+N_A, N_B = 120, 80
+
+
+@pytest.fixture(scope="module")
+def dirs(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("merge")
+    # deterministic, lexically-ordered urls aligned with generation order
+    pages = (
+        gen_pages_df(spark, N_A + N_B, partitions=4)
+        .withColumn("rn", F.regexp_extract("url", r"/p/(\d+)\.html", 1).cast("long"))
+        .withColumn("url", F.format_string("%08d", F.col("rn")))
+        .drop("rn")
+    )
+    pages.persist()
+    a = pages.filter(F.col("url") < f"{N_A:08d}")
+    b = pages.filter(F.col("url") >= f"{N_A:08d}")
+    d = {
+        "a": str(base / "a"), "b": str(base / "b"),
+        "m": str(base / "m"), "u": str(base / "u"),
+    }
+    build_index(a, d["a"], lang="en", partitions=4)
+    build_index(b, d["b"], lang="en", partitions=4)
+    build_index(pages, d["u"], lang="en", partitions=4)
+    merge_indexes(spark, d["a"], d["b"], d["m"])
+    pages.unpersist()
+    return d
+
+
+def test_merged_stats_match_union(spark, dirs):
+    m = Q.load_index(spark, dirs["m"])
+    u = Q.load_index(spark, dirs["u"])
+    assert m.stats["n_docs"] == u.stats["n_docs"]
+    assert m.stats["avgdl"] == pytest.approx(u.stats["avgdl"], abs=1e-9)
+    tm = {(r["term"], r["df"], r["cf"]) for r in m.terms.collect()}
+    tu = {(r["term"], r["df"], r["cf"]) for r in u.terms.collect()}
+    assert tm == tu
+
+
+def test_merged_docs_match_union(spark, dirs):
+    m = Q.load_index(spark, dirs["m"])
+    u = Q.load_index(spark, dirs["u"])
+    dm = {(r["docid"], r["dl"]) for r in m.docs.select("docid", "dl").collect()}
+    du = {(r["docid"], r["dl"]) for r in u.docs.select("docid", "dl").collect()}
+    assert dm == du
+
+
+@pytest.mark.parametrize(
+    "q", ["gentlemen", "prince andrew", "historic event", "solemn affair"]
+)
+def test_merged_queries_match_union(spark, dirs, q):
+    m = Q.load_index(spark, dirs["m"])
+    u = Q.load_index(spark, dirs["u"])
+    got = Q.topk_wand(m, q, k=30)
+    want = Q.topk_wand(u, q, k=30)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, abs=1e-9)
+    # distributed path too
+    gd2 = [(r["docid"], r["score"]) for r in Q.topk_distributed(m, q, k=30).collect()]
+    assert [d for d, _ in gd2] == [d for d, _ in want]
+
+
+def test_merged_phrases_match_union(spark, dirs):
+    m = Q.load_index(spark, dirs["m"])
+    u = Q.load_index(spark, dirs["u"])
+    for ph in ("prince andrew", "bloodthirsty soldier"):
+        assert Q.phrase_docs(m, ph) == Q.phrase_docs(u, ph)

@@ -1,0 +1,161 @@
+"""Scaling-efficiency bench: the SAME index-build job at N and 4N executors
+on the same input — the sandbox evidence for the north_rule's "throughput
+scaling efficiency ≥ 0.8 between N and 4N executors".
+
+Runs use Spark's ``local-cluster[n_executors, cores, mem]`` master: real
+separate executor JVMs with their own heaps and Python workers, shuffling
+over the block-transfer service — the closest single-machine analogue of a
+multi-executor cluster (plain ``local[N]`` shares one JVM heap across all
+tasks, which conflates executor scaling with heap contention; and this
+host's 32 vCPUs are SMT pairs over 16 physical cores, so any comparison
+crossing 16 total cores hits a hardware ~2.9×-of-4× ceiling).
+
+Default comparison: 1 executor × 4 cores  vs  4 executors × 4 cores
+(both within physical cores). Each run is a fresh subprocess; input parquet
+generated once and shared; timing excludes session startup and input gen.
+
+Usage: python tools/bench_scaling.py [n_docs] [--update-md]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+EXEC_CORES = 4
+EXEC_MEM_MB = 8192
+TASKS = 32  # same task count both runs: identical work decomposition
+
+RUN_TEMPLATE = r"""
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession
+
+# executor JVMs launched by local-cluster workers don't inherit pyspark's
+# JDK17 --add-opens flags; arrow/netty direct allocation needs them
+OPENS = " ".join(
+    f"--add-opens=java.base/{{m}}=ALL-UNNAMED" for m in [
+        "java.lang", "java.lang.invoke", "java.lang.reflect", "java.io",
+        "java.net", "java.nio", "java.util", "java.util.concurrent",
+        "java.util.concurrent.atomic", "jdk.internal.ref", "sun.nio.ch",
+        "sun.nio.cs", "sun.security.action", "sun.util.calendar",
+    ]
+) + " -Dio.netty.tryReflectionSetAccessible=true -XX:MaxDirectMemorySize=4g"
+
+n_exec = {n_exec}
+spark = (
+    SparkSession.builder
+    .master(f"local-cluster[{n_exec},{exec_cores},{exec_mem}]")
+    .appName("scal")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "{tasks}")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.executor.extraJavaOptions", OPENS)
+    .config("spark.executorEnv.PYTHONPATH", {repo!r})
+    .config("spark.sql.parquet.compression.codec", "zstd")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("WARN")
+from search_engine_spark.operators.indexer import build_index
+pages = spark.read.parquet({pages!r})
+pages.count()  # warm: executor registration + file listing (untimed)
+# warm python worker daemons on every executor core (session startup is
+# excluded from throughput per BASELINE.md; workers are long-lived state)
+import pyarrow as _pa
+def _warm(batches):
+    for b in batches:
+        yield _pa.RecordBatch.from_arrays([_pa.array([b.num_rows])], names=["n"])
+spark.range(0, 1000, numPartitions={tasks}).mapInArrow(_warm, "n long").count()
+t0 = time.perf_counter()
+stats = build_index(pages, {out!r}, lang="en", partitions={tasks})
+dt = time.perf_counter() - t0
+print(json.dumps({{"executors": n_exec, "cores_per_executor": {exec_cores},
+                  "wall_s": dt, "n_docs": stats["n_docs"],
+                  "docs_per_sec": stats["n_docs"] / dt}}))
+spark.stop()
+"""
+
+
+def run_at(n_exec: int, pages: str, out: str) -> dict:
+    code = RUN_TEMPLATE.format(
+        repo=REPO, n_exec=n_exec, exec_cores=EXEC_CORES,
+        exec_mem=EXEC_MEM_MB, tasks=TASKS, pages=pages, out=out,
+    )
+    res = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True, text=True, timeout=3000,
+    )
+    lines = [l for l in res.stdout.splitlines() if l.startswith("{")]
+    if not lines:
+        print(res.stderr[-3000:], file=sys.stderr)
+        raise RuntimeError(f"run with {n_exec} executors produced no result")
+    return json.loads(lines[-1])
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 120_000
+    tmp = tempfile.mkdtemp(prefix="se_scaling_")
+    pages_path = os.path.join(tmp, "pages")
+
+    gen = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            (
+                f"import sys; sys.path.insert(0, {REPO!r})\n"
+                "from search_engine_spark.session import get_spark\n"
+                "from search_engine_spark.corpus import gen_pages_df\n"
+                "s = get_spark(cores=32)\n"
+                f"gen_pages_df(s, {n_docs}, partitions=64).write.parquet({pages_path!r})\n"
+            ),
+        ],
+        capture_output=True, text=True, timeout=3000,
+    )
+    if gen.returncode != 0:
+        print(gen.stderr[-2000:], file=sys.stderr)
+        sys.exit(1)
+
+    r1 = run_at(1, pages_path, os.path.join(tmp, "idx1"))
+    r4 = run_at(4, pages_path, os.path.join(tmp, "idx4"))
+    eff = (r4["docs_per_sec"] / r1["docs_per_sec"]) / 4.0
+    out = {
+        "n_docs": n_docs,
+        "exec_cores": EXEC_CORES,
+        "n_executors": r1,
+        "n4_executors": r4,
+        "speedup_1_to_4_executors": round(r4["docs_per_sec"] / r1["docs_per_sec"], 3),
+        "scaling_efficiency": round(eff, 3),
+        "criterion": "eff = (thr_4N / thr_N) / 4 >= 0.8",
+        "pass": eff >= 0.8,
+    }
+    print(json.dumps(out, indent=1))
+
+    if "--update-md" in sys.argv:
+        os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+        md = os.path.join(REPO, "BENCH", "BASELINE.md")
+        lines = [
+            "# BENCH/BASELINE.md — measured results\n",
+            "\n## Scaling efficiency (north_rule: N vs 4N executors, target ≥ 0.8)\n",
+            "\nSame index-build job, same input parquet, fresh `local-cluster` per run\n",
+            "(real separate executor JVMs, own heaps + Python workers; the honest\n",
+            "single-machine analogue of executor scaling). Timing excludes session\n",
+            "startup and input generation. Host: 32 vCPUs = 16 physical cores × SMT.\n",
+            f"\n| corpus docs | executors × cores | wall s | docs/sec |\n|---|---|---|---|\n",
+            f"| {r1['n_docs']} | 1 × {EXEC_CORES} | {r1['wall_s']:.1f} | {r1['docs_per_sec']:.1f} |\n",
+            f"| {r4['n_docs']} | 4 × {EXEC_CORES} | {r4['wall_s']:.1f} | {r4['docs_per_sec']:.1f} |\n",
+            f"\n**speedup N→4N = {out['speedup_1_to_4_executors']}×, efficiency = "
+            f"{out['scaling_efficiency']} ({'PASS' if out['pass'] else 'FAIL'} ≥ 0.8)**\n",
+        ]
+        with open(md, "w") as fh:
+            fh.writelines(lines)
+        print(f"wrote {md}")
+
+
+if __name__ == "__main__":
+    main()
