@@ -230,15 +230,20 @@ def tokenize_postings_from_snapshot(
     offsets: dict[int, int],
     stem: bool = True,
     cap: int | None = None,
+    from_html: bool = False,
 ) -> DataFrame:
     """Fused stage 1b+2: stream the ranged snapshot, assign docids on the
-    fly (no window, no extra shuffle of the text) and tokenize."""
+    fly (no window, no extra shuffle of the text) and tokenize.
+    ``from_html`` runs the pinned HTML→text extraction first (the full
+    Common-Crawl pipeline; reference IndexerProject.java:262-276)."""
     import numpy as np
     import pyarrow as pa
 
     from search_engine_spark.functions.codec import encode_positions
+    from search_engine_spark.oracle.text import extract_text
 
-    snap = spark.read.parquet(snap_path).select("url", "text", "_pid")
+    content_col = "html" if from_html else "text"
+    snap = spark.read.parquet(snap_path).select("url", content_col, "_pid")
     b_off = spark.sparkContext.broadcast(offsets)
     kw = {} if cap is None else {"cap": cap}
 
@@ -279,6 +284,8 @@ def tokenize_postings_from_snapshot(
             texts_in = batch.column(1).to_pylist()
             docids_in = ids.assign(batch.column(2).to_pylist())
             for did, txt in zip(docids_in, texts_in):
+                if from_html:
+                    txt = extract_text(txt or b"")
                 per_term, dl = doc_postings(txt or "", stem=stem, **kw)
                 for term, plist in per_term.items():
                     o_docid.append(did)
@@ -554,8 +561,14 @@ def build_index(
     postings_per_bucket: int = DEFAULT_POSTINGS_PER_BUCKET,
     block_size: int = DEFAULT_BLOCK_SIZE,
     partitions: int | None = None,
+    from_html: bool = False,
 ) -> dict:
     """pages(url, warc_ts, html, text, lang) → index warehouse at out_dir.
+
+    ``from_html`` runs the full pipeline from the raw html column (pinned
+    extraction inside the tokenize stage) instead of the pre-extracted
+    text column; results are identical when text == extract_text(html)
+    (the corpus invariant — tested).
 
     Returns the stats dict (also persisted as stats.json). Every stage is a
     DataFrame transform; the only driver-side data are per-partition counts
@@ -569,7 +582,7 @@ def build_index(
     # (pins one sampling of the range boundaries — see assign_docids doc)
     snap_path = os.path.join(out_dir, "_stage", "ranged_snapshot")
     (
-        src.select("url", "text")
+        src.select("url", "html" if from_html else "text")
         .repartitionByRange(parts, "url")
         .sortWithinPartitions("url")
         .withColumn("_pid", F.spark_partition_id())
@@ -587,7 +600,7 @@ def build_index(
     # reads the same snapshot.
     raw_path = os.path.join(out_dir, "_stage", "postings_raw")
     tokenize_postings_from_snapshot(
-        spark, snap_path, offsets, stem=stem, cap=cap
+        spark, snap_path, offsets, stem=stem, cap=cap, from_html=from_html
     ).write.mode("overwrite").option("compression", "lz4").parquet(raw_path)
     postings = spark.read.parquet(raw_path)
 
@@ -596,22 +609,20 @@ def build_index(
     doc_tbl = postings.groupBy("docid").agg(F.max("dl").alias("dl")).join(
         docid_url_table(spark, snap_path, offsets), "docid"
     )
-    from pyspark.sql import Observation
-
-    obs = Observation("docstats")
     (
-        doc_tbl.observe(
-            obs,
-            F.count(F.lit(1)).alias("n_docs"),
-            F.avg("dl").alias("avgdl"),
-        )
-        .repartitionByRange(max(1, parts // 4), "docid")
+        doc_tbl.repartitionByRange(max(1, parts // 4), "docid")
         .sortWithinPartitions("docid")
         .write.mode("overwrite").parquet(os.path.join(out_dir, "docs"))
     )
-    # corpus stats piggyback on the write job (Observation) — no extra scan
-    n_docs = int(obs.get["n_docs"])
-    avgdl = float(obs.get["avgdl"] or 0.0)
+    # NOTE: an Observation on this write is tempting (zero extra job) but
+    # WRONG: repartitionByRange runs a sampling pass that re-executes the
+    # child plan, double-firing observed metrics (n_docs came out 2×).
+    # The read-back aggregate below is cheap (small columnar table).
+    stats_row = spark.read.parquet(os.path.join(out_dir, "docs")).agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    n_docs = int(stats_row["n_docs"])
+    avgdl = float(stats_row["avgdl"] or 0.0)
 
     terms = term_stats(postings, n_docs)
     (

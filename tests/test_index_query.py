@@ -134,3 +134,29 @@ def test_skew_bucketing_invariance(spark, tmp_path_factory, oracle):
         assert [d for d, _ in got] == [d for d, _ in want]
         for (gd, gs), (wd, ws) in zip(got, want):
             assert gs == pytest.approx(ws, abs=1e-9)
+
+
+def test_stats_correct_with_many_partitions(spark, tmp_path_factory, corpus):
+    """Regression: repartitionByRange's sampling pass re-executes the child
+    plan; stats must not double-count when the docs write has >1 partition
+    (Observation-based metrics did — n_docs came out 2×)."""
+    out = str(tmp_path_factory.mktemp("idx") / "manyparts")
+    pages = gen_pages_df(spark, N_DOCS, partitions=16)
+    stats = build_index(pages, out, lang="en", stem=True, partitions=16)
+    assert stats["n_docs"] == len(corpus)
+
+
+def test_from_html_build_identical(spark, tmp_path_factory, oracle):
+    """Full-pipeline build from the raw html column equals the text-column
+    build (corpus invariant: text == extract_text(html) per url)."""
+    out = str(tmp_path_factory.mktemp("idx") / "fromhtml")
+    pages = gen_pages_df(spark, N_DOCS, partitions=4)
+    stats = build_index(
+        pages, out, lang="en", stem=True, partitions=4, from_html=True
+    )
+    idx = Q.load_index(spark, out)
+    assert stats["n_docs"] == oracle.n_docs
+    for q in ("gentlemen", "prince andrew"):
+        got = Q.topk_wand(idx, q, k=30)
+        want = oracle.topk(q, k=30)
+        assert [d for d, _ in got] == [d for d, _ in want]
