@@ -194,7 +194,9 @@ def q_join_agg(spark, sf_dir):
         o.join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .alias("revenue"),
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
@@ -226,7 +228,9 @@ def q_foldbykey(spark, sf_dir):
     """#8 foldByKey over events: per-user value sum (DECIMAL-exact)."""
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy("user_id").agg(
-        F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .alias("total_value"),
         F.count(F.lit(1)).alias("n_events"),
     )
 
@@ -236,7 +240,9 @@ def q_fold_global(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return li.agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .alias("sum_qty"),
         F.round(F.avg("l_discount"), 6).alias("avg_disc"),
     )
 
@@ -291,8 +297,12 @@ def q_tpch_pricing(spark, sf_dir):
     """TPC-H Q1-style pricing summary (grouping agg coverage)."""
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
-        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("sum_price"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .alias("sum_price"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -320,7 +330,9 @@ def q_events_hourly(spark, sf_dir):
         "event_type",
     ).agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .alias("sum_value"),
     )
 
 
@@ -434,7 +446,9 @@ def q_lsh_topk(spark, sf_dir):
 
 def q_ivf_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
-    rows = emb.filter(F.col("vec_id") < 8).collect()
+    rows = sorted(
+        emb.filter(F.col("vec_id") < 8).collect(), key=lambda r: r["vec_id"]
+    )
     pivots = [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in rows]
     qv = pivots[0][1]
     return S.ivf_topk(emb, pivots, qv, k=10, nprobe=3)
@@ -599,15 +613,16 @@ SELECT docid,
     WHEN hits_es >= hits_fr THEN 'es'
     ELSE 'fr'
   END AS pred_lang,
-  greatest(hits_en, hits_de, hits_es, hits_fr) AS best_hits
+  greatest(hits_en, hits_de, hits_es, hits_fr)::INT AS best_hits
 FROM h
 """
 
 
-def _simhash_sql() -> str:
+def _simhash_ctes() -> str:
+    """CTE chain ending in sg(docid, simhash) — shared by the simhash and
+    simhash_near_pairs oracles."""
     h32 = md5_int32_sql("term")
-    return f"""
-WITH {TOKS_CTE}, {FLAT_CTE},
+    return f"""{TOKS_CTE}, {FLAT_CTE},
 tf AS (SELECT docid, term, count(*) AS tf FROM flat GROUP BY docid, term),
 hh AS (SELECT docid, tf, {h32} AS h FROM tf),
 bits AS (
@@ -615,10 +630,123 @@ bits AS (
          sum(CASE WHEN (h >> g.bit) & 1 = 1 THEN tf ELSE -tf END) AS s
   FROM hh, unnest(generate_series(0, 31)) AS g(bit)
   GROUP BY docid, g.bit
+),
+sg AS (
+  SELECT docid,
+         sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash
+  FROM bits GROUP BY docid
+)"""
+
+
+def _simhash_sql() -> str:
+    return f"WITH {_simhash_ctes()} SELECT docid, simhash FROM sg"
+
+
+def _simhash_near_pairs_sql(max_hamming: int = 3) -> str:
+    """Exact all-pairs mirror of D.simhash_near_pairs: the Spark side's
+    bit-band bucketing is lossless by pigeonhole (any pair within hamming r
+    agrees exactly on >=1 of r+1 bands), so the banded result equals the
+    exhaustive pair set the oracle computes directly."""
+    return f"""
+WITH {_simhash_ctes()}
+SELECT l.docid AS a, r.docid AS b,
+       bit_count(xor(l.simhash, r.simhash))::INT AS hamming
+FROM sg l JOIN sg r ON l.docid < r.docid
+WHERE bit_count(xor(l.simhash, r.simhash)) <= {max_hamming}
+"""
+
+
+def _plane_lit(plane: list[float]) -> str:
+    return "CAST([" + ", ".join(str(x) for x in plane) + "] AS DOUBLE[])"
+
+
+def _lsh_topk_sql(k: int = 10, n_planes: int = 6, dim: int = 64,
+                  qid: int = 0, probe_hamming: int = 1) -> str:
+    """Mirror of S.lsh_topk: sign-LSH signatures from the deterministic
+    md5-derived +/-1 hyperplanes (embedded as literals), candidates = buckets
+    within probe_hamming bits of the query's bucket, exact cosine inside."""
+    planes = S.hyperplanes(dim, n_planes)
+    dcols = ", ".join(
+        f"sum(list_extract(e.embedding, g.i)::DOUBLE"
+        f" * list_extract({_plane_lit(p)}, g.i)) AS d{j}"
+        for j, p in enumerate(planes)
+    )
+    sig_expr = " + ".join(
+        f"(CASE WHEN d{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(n_planes)
+    )
+    return f"""
+WITH dots AS (
+  SELECT e.vec_id, {dcols}
+  FROM embeddings e, unnest(generate_series(1, {dim})) AS g(i)
+  GROUP BY e.vec_id
+),
+sigs AS (SELECT vec_id, ({sig_expr})::BIGINT AS sig FROM dots),
+qs AS (SELECT sig AS qsig FROM sigs WHERE vec_id = {qid}),
+cand AS (
+  SELECT s.vec_id FROM sigs s, qs
+  WHERE bit_count(xor(s.sig, qs.qsig)) <= {probe_hamming}
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {qid}),
+sc AS (
+  SELECT e.vec_id,
+         sum(list_extract(e.embedding, g.i)::DOUBLE * list_extract(q.qv, g.i)::DOUBLE) AS dot,
+         sum(list_extract(e.embedding, g.i)::DOUBLE * list_extract(e.embedding, g.i)::DOUBLE) AS na,
+         sum(list_extract(q.qv, g.i)::DOUBLE * list_extract(q.qv, g.i)::DOUBLE) AS nb
+  FROM embeddings e JOIN cand USING (vec_id), q,
+       unnest(generate_series(1, {dim})) AS g(i)
+  GROUP BY e.vec_id
 )
-SELECT docid,
-       sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash
-FROM bits GROUP BY docid
+SELECT vec_id, round(dot / (sqrt(na) * sqrt(nb)), 6) AS cos
+FROM sc ORDER BY cos DESC, vec_id ASC LIMIT {k}
+"""
+
+
+def _ivf_topk_sql(k: int = 10, n_pivots: int = 8, nprobe: int = 3,
+                  qid: int = 0, dim: int = 64) -> str:
+    """Mirror of S.ivf_topk with pivots = embeddings(vec_id < n_pivots) and
+    query = embeddings(vec_id = qid) — exactly how q_ivf_topk builds them.
+    Assignment uses ROUNDED cosine (matches cosine_col), smaller cell id on
+    ties (matches the greatest-of-struct negid trick); probe-cell selection
+    uses UNROUNDED cosine (matches the Python driver-side sort)."""
+    return f"""
+WITH piv AS (SELECT vec_id AS cid, embedding AS pv FROM embeddings WHERE vec_id < {n_pivots}),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {qid}),
+pivq AS (
+  SELECT p.cid,
+         sum(list_extract(p.pv, g.i)::DOUBLE * list_extract(q.qv, g.i)::DOUBLE)
+           / (sqrt(sum(list_extract(p.pv, g.i)::DOUBLE * list_extract(p.pv, g.i)::DOUBLE))
+              * sqrt(sum(list_extract(q.qv, g.i)::DOUBLE * list_extract(q.qv, g.i)::DOUBLE))) AS cos
+  FROM piv p, q, unnest(generate_series(1, {dim})) AS g(i)
+  GROUP BY p.cid
+),
+probe AS (SELECT cid FROM pivq ORDER BY cos DESC, cid ASC LIMIT {nprobe}),
+vp AS (
+  SELECT e.vec_id, p.cid,
+         round(sum(list_extract(e.embedding, g.i)::DOUBLE * list_extract(p.pv, g.i)::DOUBLE)
+           / (sqrt(sum(list_extract(e.embedding, g.i)::DOUBLE * list_extract(e.embedding, g.i)::DOUBLE))
+              * sqrt(sum(list_extract(p.pv, g.i)::DOUBLE * list_extract(p.pv, g.i)::DOUBLE))), 6) AS cos
+  FROM embeddings e, piv p, unnest(generate_series(1, {dim})) AS g(i)
+  GROUP BY e.vec_id, p.cid
+),
+assign AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
+    FROM vp
+  ) WHERE rn = 1
+),
+cand AS (SELECT a.vec_id FROM assign a JOIN probe ON a.cell = probe.cid),
+sc AS (
+  SELECT e.vec_id,
+         sum(list_extract(e.embedding, g.i)::DOUBLE * list_extract(q.qv, g.i)::DOUBLE) AS dot,
+         sum(list_extract(e.embedding, g.i)::DOUBLE * list_extract(e.embedding, g.i)::DOUBLE) AS na,
+         sum(list_extract(q.qv, g.i)::DOUBLE * list_extract(q.qv, g.i)::DOUBLE) AS nb
+  FROM embeddings e JOIN cand USING (vec_id), q,
+       unnest(generate_series(1, {dim})) AS g(i)
+  GROUP BY e.vec_id
+)
+SELECT vec_id, round(dot / (sqrt(na) * sqrt(nb)), 6) AS cos
+FROM sc ORDER BY cos DESC, vec_id ASC LIMIT {k}
 """
 
 
@@ -632,13 +760,13 @@ SELECT docid, term, count(*) AS tf FROM flat GROUP BY docid, term
 
     sqls["doc_lengths"] = f"""
 WITH {TOKS_CTE}
-SELECT docid, len(toks) AS dl FROM toks
+SELECT docid, len(toks)::INT AS dl FROM toks
 """
 
     sqls["document_frequencies"] = f"""
 WITH {TOKS_CTE}, {FLAT_CTE},
 tf AS (SELECT docid, term, count(*) AS tf FROM flat GROUP BY docid, term)
-SELECT term, count(*) AS df, sum(tf) AS cf FROM tf GROUP BY term
+SELECT term, count(*) AS df, sum(tf)::BIGINT AS cf FROM tf GROUP BY term
 """
 
     sqls["idf"] = f"""
@@ -658,7 +786,7 @@ FROM d, n
     sqls["top_terms"] = f"""
 WITH {TOKS_CTE}, {FLAT_CTE},
 tf AS (SELECT docid, term, count(*) AS tf FROM flat GROUP BY docid, term),
-d AS (SELECT term, count(*) AS df, sum(tf) AS cf FROM tf GROUP BY term)
+d AS (SELECT term, count(*) AS df, sum(tf)::BIGINT AS cf FROM tf GROUP BY term)
 SELECT term, df, cf FROM d ORDER BY cf DESC, term ASC LIMIT 20
 """
 
@@ -693,7 +821,7 @@ SELECT l_orderkey, l_partkey, l_quantity FROM lineitem WHERE l_quantity > 45
 
     sqls["join_agg"] = """
 SELECT c_mktsegment,
-       sum(o_totalprice::DECIMAL(18,2)) AS revenue,
+       sum(o_totalprice::DECIMAL(18,2))::DECIMAL(38,2) AS revenue,
        count(*) AS n_orders
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
@@ -708,12 +836,14 @@ FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
 """
 
     sqls["foldbykey"] = """
-SELECT user_id, sum(value::DECIMAL(18,2)) AS total_value, count(*) AS n_events
+SELECT user_id, sum(value::DECIMAL(18,2))::DECIMAL(38,2) AS total_value,
+       count(*) AS n_events
 FROM events GROUP BY user_id
 """
 
     sqls["fold_global"] = """
-SELECT count(*) AS n_rows, sum(l_quantity::DECIMAL(18,2)) AS sum_qty,
+SELECT count(*) AS n_rows,
+       sum(l_quantity::DECIMAL(18,2))::DECIMAL(38,2) AS sum_qty,
        round(avg(l_discount), 6) AS avg_disc
 FROM lineitem
 """
@@ -737,7 +867,7 @@ tf AS (SELECT docid, term, count(*) AS tf FROM flat GROUP BY docid, term),
 ha AS (SELECT term, count(*) AS df, sum(tf) AS cf FROM tf WHERE docid % 2 = 0 GROUP BY term),
 hb AS (SELECT term, count(*) AS df, sum(tf) AS cf FROM tf WHERE docid % 2 = 1 GROUP BY term),
 u AS (SELECT * FROM ha UNION ALL SELECT * FROM hb)
-SELECT term, sum(df) AS df, sum(cf) AS cf FROM u GROUP BY term
+SELECT term, sum(df)::BIGINT AS df, sum(cf)::BIGINT AS cf FROM u GROUP BY term
 """
 
     sqls["intersection"] = f"""
@@ -756,8 +886,8 @@ SELECT term FROM t0 INTERSECT SELECT term FROM t1
 
     sqls["tpch_pricing"] = """
 SELECT l_returnflag, l_linestatus,
-       sum(l_quantity::DECIMAL(18,2)) AS sum_qty,
-       sum(l_extendedprice::DECIMAL(18,2)) AS sum_price,
+       sum(l_quantity::DECIMAL(18,2))::DECIMAL(38,2) AS sum_qty,
+       sum(l_extendedprice::DECIMAL(18,2))::DECIMAL(38,2) AS sum_price,
        count(*) AS n
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
@@ -774,7 +904,7 @@ SELECT o_custkey, o_orderkey, o_totalprice FROM r WHERE rn = 1
 
     sqls["events_hourly"] = """
 SELECT date_trunc('hour', ts) AS hour, event_type,
-       count(*) AS n, sum(value::DECIMAL(18,2)) AS sum_value
+       count(*) AS n, sum(value::DECIMAL(18,2))::DECIMAL(38,2) AS sum_value
 FROM events GROUP BY 1, 2
 """
 
@@ -793,8 +923,8 @@ WITH lagged AS (
 ),
 sess AS (
   SELECT user_id, ts,
-         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                             ROWS UNBOUNDED PRECEDING) AS session_id
+         (sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING))::BIGINT AS session_id
   FROM lagged
 )
 SELECT user_id, session_id, count(*) AS n_events,
@@ -814,6 +944,9 @@ FROM documents GROUP BY md5(text)
     sqls["minhash_sigs"] = f"WITH {_minhash_cte()} SELECT docid, {mh_cols} FROM sigs"
 
     sqls["simhash"] = _simhash_sql()
+    sqls["simhash_near_pairs"] = _simhash_near_pairs_sql(max_hamming=3)
+    sqls["lsh_topk"] = _lsh_topk_sql(k=10, n_planes=6)
+    sqls["ivf_topk"] = _ivf_topk_sql(k=10, n_pivots=8, nprobe=3)
 
     sqls["cosine_topk"] = f"""
 WITH {_cosine_cte(0)}
@@ -840,7 +973,7 @@ r AS (
                                      vec_id ASC) AS rank
   FROM s
 )
-SELECT qid, vec_id, cos, rank FROM r WHERE rank <= 3
+SELECT qid, vec_id, cos, rank::INT AS rank FROM r WHERE rank <= 3
 """
 
     sqls["lang_id"] = _lang_sql()
@@ -855,7 +988,7 @@ base AS (
          list_sum(list_transform(toks, x -> length(x)))::DOUBLE AS char_sum
   FROM toks WHERE len(toks) > 0
 )
-SELECT docid, n_tokens,
+SELECT docid, n_tokens::INT AS n_tokens,
        round(n_unique * 1.0 / n_tokens, 6) AS uniq_ratio,
        round(n_stop * 1.0 / n_tokens, 6) AS stop_ratio,
        round(char_sum / n_tokens, 6) AS mean_len,
@@ -868,8 +1001,9 @@ FROM base
 
     sqls["token_counts"] = f"""
 WITH {TOKS_CTE}
-SELECT docid, len(toks) AS n_tokens, len(list_distinct(toks)) AS n_unique,
-       length(array_to_string(toks, ' ')) AS n_chars_norm
+SELECT docid, len(toks)::INT AS n_tokens,
+       len(list_distinct(toks))::INT AS n_unique,
+       length(array_to_string(toks, ' '))::INT AS n_chars_norm
 FROM toks
 """
 

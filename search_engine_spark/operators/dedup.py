@@ -70,10 +70,16 @@ def shingles(
     """(docid, shingle) — DISTINCT word n-gram shingles per doc, built with
     array built-ins (transform over token-index slices), no Python."""
     toks = tokens_col(text)
-    sh = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-    )
+    # Guard: for docs with fewer than n tokens, sequence(0, size-n) would
+    # run DOWNWARD (step defaults to -1 when start > stop) and slice() then
+    # crashes on index 0 — short/empty docs must yield no shingles instead.
+    sh = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return (
         df.select(F.col(docid).alias("docid"), F.explode(sh).alias("shingle"))
         .distinct()

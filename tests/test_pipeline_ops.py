@@ -50,6 +50,30 @@ def test_shingles_and_jaccard(spark, docs):
     assert all(j >= 0.3 for j in pairs.values())
 
 
+def test_shingles_short_docs(spark):
+    """Docs with fewer than n tokens must yield NO shingles (not crash):
+    sequence(0, size-n) runs downward when size < n and slice() then errors.
+    Mirrors the DuckDB oracle, which emits nothing for short docs."""
+    rows = [
+        (0, ""),                # 0 tokens
+        (1, "one"),             # 1 token
+        (2, "just two"),        # 2 tokens  (< default n=3)
+        (3, "exactly three tokens"),
+        (4, "the quick brown fox jumps"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = {
+        r["docid"]: r["cnt"]
+        for r in D.shingles(docs)
+        .groupBy("docid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    assert 0 not in sh and 1 not in sh and 2 not in sh
+    assert sh[3] == 1 and sh[4] == 3
+    # downstream ops survive short docs too
+    assert D.minhash_signatures(docs).count() == 2
+    assert D.jaccard_pairs(docs, 0.01).count() == 0
+
+
 def test_minhash_matches_python(spark, docs):
     sigs = {r["docid"]: r for r in D.minhash_signatures(docs).collect()}
 

@@ -39,6 +39,24 @@ def norm_cell(v):
     return str(v)
 
 
+def canon_type(t: str) -> str:
+    """Canonicalize a Spark simpleString / DuckDB description type name so
+    cross-engine result-type drift (HUGEINT vs BIGINT, DECIMAL(38,2) vs
+    DECIMAL(28,2)) is caught locally — the driver's value-hash is
+    type-sensitive, so types must MATCH exactly, not just compare equal."""
+    t = t.strip().lower().replace(" ", "")
+    alias = {
+        "varchar": "string",
+        "integer": "int",
+        "long": "bigint",
+        "timestampwithtimezone": "timestamp",
+        "timestamp_ns": "timestamp",
+        "timestamp_ntz": "timestamp",
+        "blob": "binary",
+    }
+    return alias.get(t, t)
+
+
 def norm_rows(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     return sorted(
@@ -65,6 +83,10 @@ def main():
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
+            stypes = {
+                f.name: canon_type(f.dataType.simpleString())
+                for f in sdf.schema.fields
+            }
             srows = sdf.collect()
         except Exception as ex:
             print(f"FAIL  {name}: spark error: {str(ex)[:300]}")
@@ -76,9 +98,12 @@ def main():
             n_rowsonly += 1
             continue
         try:
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            rel = con.sql(oracles[name])
+            dcols = list(rel.columns)
+            dtypes = {
+                c: canon_type(str(t)) for c, t in zip(rel.columns, rel.types)
+            }
+            drows = rel.fetchall()
         except Exception as ex:
             print(f"FAIL  {name}: duckdb error: {str(ex)[:300]}")
             n_fail += 1
@@ -88,6 +113,15 @@ def main():
         if sorted(scols) != sorted(dcols):
             ok = False
             msgs.append(f"cols spark={sorted(scols)} duck={sorted(dcols)}")
+        else:
+            tdiff = {
+                c: (stypes[c], dtypes[c])
+                for c in scols
+                if stypes[c] != dtypes[c]
+            }
+            if tdiff:
+                ok = False
+                msgs.append(f"TYPE drift {tdiff}")
         if len(srows) != len(drows):
             ok = False
             msgs.append(f"rows spark={len(srows)} duck={len(drows)}")
