@@ -20,6 +20,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from search_engine_spark.operators import dedup as D
+from search_engine_spark.operators import sampling as SMP
 from search_engine_spark.operators import similarity as S
 from search_engine_spark.operators import text_ops as T
 from search_engine_spark.operators import textstats as TS
@@ -56,11 +57,13 @@ STOP_LIST = ", ".join(f"'{s}'" for s in sorted(STOPWORDS))
 # Index cache: build the block index over the sf documents table once
 # ---------------------------------------------------------------------------
 
-INDEX_FORMAT = 2  # bump when the on-disk block format/semantics change
+INDEX_FORMAT = 3  # bump when the on-disk block format/semantics change
 
 
-def _cached_index(spark: SparkSession, sf_dir: str) -> IQ.Index:
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+def _cached_index(
+    spark: SparkSession, sf_dir: str, stem: bool = False
+) -> IQ.Index:
+    key = hashlib.md5(f"{sf_dir}:{int(stem)}".encode()).hexdigest()[:10]
     out = os.path.join(
         tempfile.gettempdir(), f"se_spark_idx_v{INDEX_FORMAT}_{key}"
     )
@@ -72,7 +75,7 @@ def _cached_index(spark: SparkSession, sf_dir: str) -> IQ.Index:
         )
         # doc_id is already dense+unique; use it as url so url-rank == doc_id
         docs = docs.withColumn("url", F.lpad("url", 12, "0"))
-        build_index(docs, out, lang="en", stem=False, cap=None)
+        build_index(docs, out, lang="en", stem=stem, cap=None)
     return IQ.load_index(spark, out)
 
 
@@ -134,6 +137,35 @@ def q_bm25_index_all(spark, sf_dir):
     return out.select("docid", F.round("score", 6).alias("score"))
 
 
+def q_topk_urls(spark, sf_dir):
+    """Result assembly: (docid, url, score, snippet) — what the reference
+    frontend actually returns to the user."""
+    idx = _cached_index(spark, sf_dir)
+    corpus = _docs(spark, sf_dir).select(
+        F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("url"), "text"
+    )
+    return IQ.topk_with_urls(idx, corpus, "spark table join", k=20)
+
+
+def q_stemmed_topk(spark, sf_dir):
+    """T4 Porter dual-indexing on the GATE path: build a stemmed index and
+    query it. Every term in the synthetic vocabulary has a singleton stem
+    class, so the stemmed result equals the plain-token oracle exactly —
+    the dual-indexing machinery (stem emission, query-side stemming,
+    stemmed posting stats) is what's exercised."""
+    idx = _cached_index(spark, sf_dir, stem=True)
+    out = IQ.topk_distributed(idx, "table customer query", k=25)
+    return out.select("docid", F.round("score", 6).alias("score"))
+
+
+def q_sample_bernoulli(spark, sf_dir):
+    """#14 sample: deterministic hash-Bernoulli (engine-portable; the
+    native seeded df.sample is pytest-verified statistically)."""
+    return SMP.bernoulli_sample(
+        _docs(spark, sf_dir), 0.25, seed=7, key="doc_id"
+    ).select("doc_id", "lang", "n_chars")
+
+
 def q_top_terms(spark, sf_dir):
     return (
         T.document_frequencies(_docs(spark, sf_dir))
@@ -156,6 +188,12 @@ def q_phrase(spark, sf_dir):
         "docid", (F.col("pos") - 1).alias("pos")
     )
     return a.join(b, ["docid", "pos"]).select("docid").distinct()
+
+
+def q_phrase_index(spark, sf_dir):
+    """Q9 via the index: distributed position-join over decoded blocks."""
+    idx = _cached_index(spark, sf_dir)
+    return IQ.phrase_docs_distributed(idx, "hash join")
 
 
 def q_distinct_terms(spark, sf_dir):
@@ -482,9 +520,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_single": q_bm25_single,
         "bm25_rare": q_bm25_rare,
         "bm25_index_all": q_bm25_index_all,
+        "topk_urls": q_topk_urls,
+        "stemmed_topk": q_stemmed_topk,
         "top_terms": q_top_terms,
         "autocomplete": q_autocomplete,
         "phrase": q_phrase,
+        "phrase_index": q_phrase_index,
         "distinct_terms": q_distinct_terms,
         "corpus_stats": q_corpus_stats,
         # Flame-op / relational coverage (SURVEY §2.1/§2.4)
@@ -496,6 +537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_flags": q_distinct_flags,
         "take_ordered": q_take_ordered,
         "sample_mod": q_sample_mod,
+        "sample_bernoulli": q_sample_bernoulli,
         "union_merge": q_union_merge,
         "intersection": q_intersection,
         "tpch_pricing": q_tpch_pricing,
@@ -782,6 +824,30 @@ FROM d, n
     sqls["bm25_single"] = T.bm25_topk_sql_oracle("window", k=20)
     sqls["bm25_rare"] = T.bm25_topk_sql_oracle("customer stream vector", k=15)
     sqls["bm25_index_all"] = T.bm25_topk_sql_oracle("spark table join", k=10_000)
+    from search_engine_spark.oracle.porter import porter_stem
+
+    stem_w = {
+        t: (2 if porter_stem(t) != t else 1)
+        for t in T.query_terms("table customer query")
+    }
+    sqls["stemmed_topk"] = T.bm25_topk_sql_oracle(
+        "table customer query", k=25, weights=stem_w
+    )
+
+    snip = IQ.snippet_sql(T.query_terms("spark table join"), "d.text")
+    sqls["topk_urls"] = f"""
+WITH scored AS ({T.bm25_topk_sql_oracle("spark table join", k=20)})
+SELECT s.docid,
+       lpad(CAST(d.doc_id AS VARCHAR), 12, '0') AS url,
+       s.score,
+       {snip} AS snippet
+FROM scored s JOIN documents d ON d.doc_id = s.docid
+"""
+
+    sqls["sample_bernoulli"] = f"""
+SELECT doc_id, lang, n_chars FROM documents
+WHERE {SMP.bernoulli_sample_sql(0.25, 7, "doc_id")}
+"""
 
     sqls["top_terms"] = f"""
 WITH {TOKS_CTE}, {FLAT_CTE},
@@ -799,6 +865,13 @@ ORDER BY df DESC, term ASC LIMIT 10
 """
 
     sqls["phrase"] = f"""
+WITH {TOKS_CTE}, {POS_CTE}
+SELECT DISTINCT a.docid AS docid
+FROM pos a JOIN pos b ON a.docid = b.docid AND b.pos = a.pos + 1
+WHERE a.term = 'hash' AND b.term = 'join'
+"""
+
+    sqls["phrase_index"] = f"""
 WITH {TOKS_CTE}, {POS_CTE}
 SELECT DISTINCT a.docid AS docid
 FROM pos a JOIN pos b ON a.docid = b.docid AND b.pos = a.pos + 1

@@ -39,18 +39,12 @@ def main() -> None:
     from search_engine_spark.operators import query as Q
 
     idx = Q.load_index(spark, args.index)
-    doclen = None
-    if not args.distributed:
-        doclen = {
-            r["docid"]: r["dl"]
-            for r in idx.docs.select("docid", "dl").collect()
-        }
     for q in args.queries:
         if args.distributed:
             rows = Q.topk_distributed(idx, q, k=args.k).collect()
             topk = [[r["docid"], r["score"]] for r in rows]
         else:
-            topk = [[d, s] for d, s in Q.topk_wand(idx, q, k=args.k, doclen=doclen)]
+            topk = [[d, s] for d, s in Q.topk_wand(idx, q, k=args.k)]
         print(json.dumps({"query": q, "topk": topk}))
 
 

@@ -7,14 +7,21 @@ block-max indexes", SIGIR 2011). The reference stores postings as delimited
 strings in KVS columns ("tf:pos1,pos2", jobs/IndexerProjectPhraseSearch.java:82-84);
 this codec is the scale-path replacement.
 
-Block layout (independently decodable):
+Block layout v3 (independently decodable):
     varint n_postings
     varint first_docid                     (absolute)
     varint docid_gap  × (n-1)              (gap - 1 not used; gaps >= 1)
     varint tf         × n
+    varint dl         × n                  (document length, colocated)
     per posting: varint n_pos, varint first_pos, varint pos_gap × (n_pos-1)
 
 Positions may be empty (n_pos = 0) when the index is built without them.
+
+The dl stream makes every block self-scoring: BM25 partials need no join
+against the docs table at query time (the Lucene norms-file idea, inlined).
+dl is invariant under index merge (docid shift touches only the first-docid
+varint, which precedes the dl stream), and exact — scoring against the
+CURRENT avgdl stays bit-identical to the oracle after any merge.
 """
 
 from __future__ import annotations
@@ -90,11 +97,13 @@ def encode_block_arrays(
     tfs: np.ndarray,
     pos_flat: np.ndarray | None,
     pos_lens: np.ndarray | None,
+    dls: np.ndarray | None = None,
 ) -> bytes:
     """Vectorized ``encode_block`` over numpy arrays (identical bytes).
 
     pos_flat/pos_lens: concatenated position values + per-posting lengths
-    (None → no positions, encoded as n_pos=0 per posting)."""
+    (None → no positions, encoded as n_pos=0 per posting).
+    dls: per-posting document lengths (None → zeros)."""
     n = len(docids)
     head = np.empty(1 + n, dtype=np.int64)
     head[0] = n
@@ -114,12 +123,22 @@ def encode_block_arrays(
             nz = starts[pos_lens > 0]
             deltas[nz] = pos_flat[nz]  # restore absolutes at posting starts
         pos_seq = np.insert(deltas, starts, pos_lens)
-    vals = np.concatenate([head, tfs.astype(np.int64, copy=False), pos_seq])
+    dl_arr = (
+        np.zeros(n, dtype=np.int64)
+        if dls is None
+        else dls.astype(np.int64, copy=False)
+    )
+    vals = np.concatenate(
+        [head, tfs.astype(np.int64, copy=False), dl_arr, pos_seq]
+    )
     return varints_vec(vals)
 
 
 def encode_block(
-    docids: list[int], tfs: list[int], positions: list[list[int]] | None
+    docids: list[int],
+    tfs: list[int],
+    positions: list[list[int]] | None,
+    dls: list[int] | None = None,
 ) -> bytes:
     """Encode one block of postings (docids strictly ascending)."""
     n = len(docids)
@@ -137,6 +156,8 @@ def encode_block(
     for tf in tfs:
         varint_encode(tf, out)
     for i in range(n):
+        varint_encode(dls[i] if dls is not None else 0, out)
+    for i in range(n):
         plist = positions[i] if positions is not None else []
         varint_encode(len(plist), out)
         if plist:
@@ -148,15 +169,18 @@ def encode_block(
     return bytes(out)
 
 
-def decode_block(buf: bytes) -> tuple[list[int], list[int], list[list[int]]]:
-    """Decode one block → (docids, tfs, positions)."""
+def decode_block(
+    buf: bytes,
+) -> tuple[list[int], list[int], list[int], list[list[int]]]:
+    """Decode one block → (docids, tfs, dls, positions)."""
     off = 0
     n, off = varint_decode(buf, off)
     docids: list[int] = []
     tfs: list[int] = []
+    dls: list[int] = []
     positions: list[list[int]] = []
     if n == 0:
-        return docids, tfs, positions
+        return docids, tfs, dls, positions
     d, off = varint_decode(buf, off)
     docids.append(d)
     for _ in range(n - 1):
@@ -166,6 +190,9 @@ def decode_block(buf: bytes) -> tuple[list[int], list[int], list[list[int]]]:
     for _ in range(n):
         tf, off = varint_decode(buf, off)
         tfs.append(tf)
+    for _ in range(n):
+        dl, off = varint_decode(buf, off)
+        dls.append(dl)
     for _ in range(n):
         m, off = varint_decode(buf, off)
         if m == 0:
@@ -178,7 +205,7 @@ def decode_block(buf: bytes) -> tuple[list[int], list[int], list[list[int]]]:
             p += g
             plist.append(p)
         positions.append(plist)
-    return docids, tfs, positions
+    return docids, tfs, dls, positions
 
 
 def decode_block_docids(buf: bytes) -> list[int]:
@@ -216,6 +243,7 @@ def split_blocks(
         b_doc = docids[start:end]
         b_tf = tfs[start:end]
         b_pos = positions[start:end] if positions is not None else None
+        b_dl = [doclen[d] for d in b_doc] if doclen is not None else None
         if doclen is not None:
             bmax = max(
                 bm25_term_score(b_tf[i], doclen[b_doc[i]], avgdl, idf)
@@ -225,7 +253,7 @@ def split_blocks(
             bmax = 0.0
         yield (
             bi,
-            encode_block(b_doc, b_tf, b_pos),
+            encode_block(b_doc, b_tf, b_pos, b_dl),
             bmax,
             b_doc[0],
             b_doc[-1],
@@ -266,7 +294,10 @@ def encode_positions(plist: list[int]) -> bytes:
 
 
 def encode_block_posbytes(
-    docids: "np.ndarray", tfs: "np.ndarray", posbytes: bytes
+    docids: "np.ndarray",
+    tfs: "np.ndarray",
+    dls: "np.ndarray",
+    posbytes: bytes,
 ) -> bytes:
     """``encode_block`` with the positions region supplied pre-encoded
     (concatenation of ``encode_positions`` outputs in docid order)."""
@@ -279,5 +310,11 @@ def encode_block_posbytes(
     head[2:] = np.diff(docids)
     if np.any(head[2:] <= 0):
         raise ValueError("docids must be strictly ascending")
-    vals = np.concatenate([head, tfs.astype(np.int64, copy=False)])
+    vals = np.concatenate(
+        [
+            head,
+            tfs.astype(np.int64, copy=False),
+            dls.astype(np.int64, copy=False),
+        ]
+    )
     return varints_vec(vals) + posbytes

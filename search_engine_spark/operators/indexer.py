@@ -55,7 +55,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from search_engine_spark.functions.codec import DEFAULT_BLOCK_SIZE
-from search_engine_spark.oracle.bm25 import bm25_idf
+from search_engine_spark.operators.text_ops import bm25_idf_col
 from search_engine_spark.oracle.text import doc_postings
 
 # A "heavy" term's postings are split into docid-range buckets of this many
@@ -383,14 +383,7 @@ def term_stats(postings: DataFrame, n_docs: int) -> DataFrame:
     return postings.groupBy("term").agg(
         F.count(F.lit(1)).alias("df"),
         F.sum("tf").alias("cf"),
-    ).withColumn(
-        "idf",
-        F.log(
-            (F.lit(n_docs) - F.col("df") + F.lit(0.5))
-            / (F.col("df") + F.lit(0.5))
-            + F.lit(1.0)
-        ),
-    )
+    ).withColumn("idf", bm25_idf_col(n_docs, F.col("df")))
 
 
 # ---------------------------------------------------------------------------
@@ -462,7 +455,8 @@ def build_blocks_arrow(
         tbl = tbl.combine_chunks()
         docid = tbl.column("docid").to_numpy()
         tf = tbl.column("tf").to_numpy().astype(np.int64, copy=False)
-        dl = tbl.column("dl").to_numpy().astype(np.float64, copy=False)
+        dl_i = tbl.column("dl").to_numpy().astype(np.int64, copy=False)
+        dl = dl_i.astype(np.float64, copy=False)
     # positions: a BinaryArray = uint8 values buffer + offsets; block
         # positions regions are raw slices of the values buffer (zero-copy,
         # no per-row Python objects)
@@ -492,6 +486,7 @@ def build_blocks_arrow(
                 blob = encode_block_posbytes(
                     docid[s:e],
                     tf[s:e],
+                    dl_i[s:e],
                     raw[offs[s] : offs[e]].tobytes(),
                 )
                 o_term.append(t)
@@ -578,6 +573,32 @@ def build_index(
     parts = partitions or spark.sparkContext.defaultParallelism
     src = pages.filter(F.col("lang") == lang) if lang else pages
 
+    # Docid assignment (_RunningIds) requires each snapshot FILE to be read
+    # whole by one task; Spark splits files larger than maxPartitionBytes
+    # (default 128 MB) across tasks, which would give each half its own
+    # counter starting at offset+0 → duplicate docids. Pin the split size
+    # above any realistic snapshot file for the duration of the build and
+    # restore afterwards. (The closed-set assertion in _RunningIds remains
+    # the loud backstop if this is ever defeated.)
+    conf = spark.conf
+    saved_mpb = conf.get("spark.sql.files.maxPartitionBytes", None)
+    conf.set("spark.sql.files.maxPartitionBytes", str(1 << 40))
+    try:
+        return _build_index_inner(
+            spark, src, out_dir, lang, stem, cap, postings_per_bucket,
+            block_size, parts, from_html,
+        )
+    finally:
+        if saved_mpb is None:
+            conf.unset("spark.sql.files.maxPartitionBytes")
+        else:
+            conf.set("spark.sql.files.maxPartitionBytes", saved_mpb)
+
+
+def _build_index_inner(
+    spark, src, out_dir, lang, stem, cap, postings_per_bucket,
+    block_size, parts, from_html,
+) -> dict:
     # stage 1: materialize the url-range-partitioned, sorted snapshot ONCE
     # (pins one sampling of the range boundaries — see assign_docids doc)
     snap_path = os.path.join(out_dir, "_stage", "ranged_snapshot")

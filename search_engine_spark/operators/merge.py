@@ -34,10 +34,12 @@ from __future__ import annotations
 import json
 import os
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.functions import pandas_udf
 
 from search_engine_spark.functions.codec import varint_decode, varint_encode
-from search_engine_spark.oracle.bm25 import B, K1
+from search_engine_spark.operators.text_ops import bm25_idf_col
 
 
 def _bound_scale(avgdl_old: float, avgdl_new: float) -> float:
@@ -94,7 +96,12 @@ def merge_indexes(
     max_bucket = pa_.agg(F.max("bucket")).collect()[0][0] or 0
     bucket_off = int(max_bucket) + 1
 
-    shift_udf = F.udf(lambda blob: _shift_block_bytes(bytes(blob), shift), "binary")
+    # Arrow-batched (pandas) UDF: one Python call per batch of blocks, not
+    # per block row; _shift_block_bytes itself rewrites ONE varint per block.
+    @pandas_udf("binary")
+    def shift_udf(blobs: pd.Series) -> pd.Series:
+        return blobs.map(lambda blob: _shift_block_bytes(bytes(blob), shift))
+
     a_blocks = pa_.withColumn(
         "block_max", F.col("block_max") * F.lit(scale_a)
     )
@@ -121,14 +128,7 @@ def merge_indexes(
         .unionByName(tb.select("term", "df", "cf"))
         .groupBy("term")
         .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
-        .withColumn(
-            "idf",
-            F.log(
-                (F.lit(n_docs) - F.col("df") + F.lit(0.5))
-                / (F.col("df") + F.lit(0.5))
-                + F.lit(1.0)
-            ),
-        )
+        .withColumn("idf", bm25_idf_col(n_docs, F.col("df")))
     )
     terms.repartitionByRange(max(1, parts // 4), "term").sortWithinPartitions(
         "term"

@@ -96,31 +96,34 @@ def topk_distributed(index: Index, query: str, k: int = 100) -> DataFrame:
 
     withidf = blocks.join(F.broadcast(tstats), "term")
 
-    # decode blocks → (docid, tf, idf) rows → join dl → exact BM25 partial
-    # → sum per doc. Arrow-batched; the join against docs(dl) is a normal
-    # shuffle join (or broadcast when the doc table is small).
+    # decode blocks → (docid, tf, dl, idf) rows → exact BM25 partial → sum
+    # per doc. dl is colocated in the block (codec v3), so the query plan
+    # needs NO join against the docs table — at 10^12 docs that join was a
+    # postings-sized shuffle; now the only shuffle is the final groupBy.
     def decode_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_doc: list[int] = []
             out_tf: list[int] = []
+            out_dl: list[int] = []
             out_idf: list[float] = []
             for blob, idf in zip(pdf["block"], pdf["idf"]):
-                docids, tfs, _pos = decode_block(bytes(blob))
+                docids, tfs, dls, _pos = decode_block(bytes(blob))
                 out_doc.extend(docids)
                 out_tf.extend(tfs)
+                out_dl.extend(dls)
                 out_idf.extend([float(idf)] * len(docids))
             yield pd.DataFrame(
                 {"docid": pd.Series(out_doc, dtype="int64"),
                  "tf": pd.Series(out_tf, dtype="int64"),
+                 "dl": pd.Series(out_dl, dtype="int64"),
                  "idf": pd.Series(out_idf, dtype="float64")}
             )
 
     decoded = withidf.select("block", "idf").mapInPandas(
-        decode_rows, schema="docid long, tf long, idf double"
+        decode_rows, schema="docid long, tf long, dl long, idf double"
     )
-    dl = index.docs.select("docid", "dl")
     scored = (
-        decoded.join(dl, "docid")
+        decoded
         .withColumn(
             "part",
             F.col("idf") * F.col("tf") * F.lit(K1 + 1.0)
@@ -147,7 +150,7 @@ class _Cursor:
     without decoding (the block-max skip)."""
 
     __slots__ = (
-        "term", "idf", "blocks", "bi", "docids", "tfs", "pi", "ub",
+        "term", "idf", "blocks", "bi", "docids", "tfs", "dls", "pi", "ub",
     )
 
     def __init__(self, term: str, idf: float, blocks: list[tuple]):
@@ -160,6 +163,7 @@ class _Cursor:
         self.bi = 0
         self.docids: list[int] = []
         self.tfs: list[int] = []
+        self.dls: list[int] = []
         self.pi = 0
         # global upper bound = idf · max block_max (standard WAND term UB)
         self.ub = idf * max(b[2] for b in blocks) if blocks else 0.0
@@ -167,11 +171,11 @@ class _Cursor:
 
     def _load(self) -> None:
         if self.bi < len(self.blocks):
-            d, t, _p = decode_block(self.blocks[self.bi][3])
-            self.docids, self.tfs = d, t
+            d, t, dl, _p = decode_block(self.blocks[self.bi][3])
+            self.docids, self.tfs, self.dls = d, t, dl
             self.pi = 0
         else:
-            self.docids, self.tfs = [], []
+            self.docids, self.tfs, self.dls = [], [], []
             self.pi = 0
 
     @property
@@ -185,6 +189,10 @@ class _Cursor:
     @property
     def tf(self) -> int:
         return self.tfs[self.pi]
+
+    @property
+    def dl(self) -> int:
+        return self.dls[self.pi]
 
     @property
     def block_max(self) -> float:
@@ -201,7 +209,7 @@ class _Cursor:
             if self.bi < len(self.blocks):
                 self._load()
         if self.exhausted:
-            self.docids, self.tfs = [], []
+            self.docids, self.tfs, self.dls = [], [], []
             return
         if not self.docids:
             self._load()
@@ -256,13 +264,14 @@ def topk_wand(
     index: Index,
     query: str,
     k: int = 100,
-    doclen: dict[int, int] | None = None,
 ) -> list[tuple[int, float]]:
     """Exact BM25 top-k via document-at-a-time Block-Max WAND.
 
     Returns [(docid, score)] sorted (score desc, docid asc) — identical to
-    the exhaustive oracle. ``doclen`` may be passed to avoid re-collecting
-    the doc table across queries."""
+    the exhaustive oracle. Document lengths come from the posting blocks
+    themselves (codec v3), so the query path touches ONLY the partition-
+    pruned postings + terms for the query — never the docs table (collecting
+    it was O(corpus) per fresh index handle; fatal at 10^12 docs)."""
     terms = parse_query(query, stem=index.stats.get("stem", True))
     if not terms:
         return []
@@ -272,10 +281,6 @@ def topk_wand(
         for r in index.terms.filter(F.col("term").isin(terms)).collect()
     }
     blocks = _fetch_term_blocks(index, [t for t in terms if t in idfs])
-    if doclen is None:
-        doclen = {
-            r["docid"]: r["dl"] for r in index.docs.select("docid", "dl").collect()
-        }
     cursors = [
         _Cursor(t, idfs[t], blocks[t]) for t in terms if blocks.get(t)
     ]
@@ -362,11 +367,10 @@ def topk_wand(
             continue  # re-sort and re-pivot with fresh positions
 
         # all live cursors sit at doc >= pivot_doc → fully score pivot_doc
-        dl = doclen[pivot_doc]
         s = 0.0
         for c in live:
             if not c.exhausted and c.doc == pivot_doc:
-                s += bm25_term_score(c.tf, dl, avgdl, c.idf)
+                s += bm25_term_score(c.tf, c.dl, avgdl, c.idf)
                 c.advance()
         push(pivot_doc, s)
 
@@ -378,37 +382,236 @@ def topk_wand(
 # Phrase search
 # ---------------------------------------------------------------------------
 
-def phrase_docs(index: Index, phrase: str) -> list[int]:
-    """Docids containing the exact adjacent token phrase.
+# ---------------------------------------------------------------------------
+# Result assembly: url + snippet (the reference frontend's answer shape)
+# ---------------------------------------------------------------------------
 
-    Candidate intersection in df-ascending order (reference
-    IndexerProjectPhraseSearch.java:407-440), adjacency verified from the
-    stored 1-based positions (checkExactMatch :340-376)."""
+def snippet_expr(
+    terms: list[str], text_col: str = "text", snippet_len: int = 120,
+    context: int = 30,
+) -> "F.Column":
+    """Deterministic snippet: ``snippet_len`` chars starting ``context``
+    before the first occurrence of any query term (1 if none match).
+    Built-ins only; exactly mirrorable in SQL (``snippet_sql``)."""
+    lowered = F.lower(F.col(text_col))
+    poss = [
+        F.nullif(F.instr(lowered, t), F.lit(0)) for t in terms
+    ]
+    first = poss[0] if len(poss) == 1 else F.least(*poss)
+    pos = F.coalesce(first, F.lit(1))
+    start = F.greatest(F.lit(1), pos - F.lit(context))
+    return F.substring(F.col(text_col), start, snippet_len)
+
+
+def snippet_sql(
+    terms: list[str], text_col: str = "text", snippet_len: int = 120,
+    context: int = 30,
+) -> str:
+    """DuckDB mirror of ``snippet_expr``."""
+    poss = ", ".join(
+        f"nullif(strpos(lower({text_col}), '{t}'), 0)" for t in terms
+    )
+    least = poss if len(terms) == 1 else f"least({poss})"
+    return (
+        f"substr({text_col}, greatest(1, coalesce({least}, 1) - {context}), "
+        f"{snippet_len})"
+    )
+
+
+def topk_with_urls(
+    index: Index,
+    corpus: DataFrame,
+    query: str,
+    k: int = 100,
+    url_col: str = "url",
+    text_col: str = "text",
+    snippet_len: int = 120,
+) -> DataFrame:
+    """(docid, url, score, snippet) — the user-facing answer the reference
+    frontend returns (url + snippet per hit, frontend/Master.java:203-256;
+    titles dropped: the corpus schema has none).
+
+    Scale shape: top-k docids collect to the driver (k rows), then both
+    lookups are IN-filtered scans — docs/ is docid-range-sorted parquet so
+    the docid filter prunes row groups, and the corpus lookup filters on
+    url before the join. No corpus-sized shuffle."""
+    scores = topk_distributed(index, query, k).collect()
+    spark = index.spark
+    if not scores:
+        return spark.createDataFrame(
+            [], "docid long, url string, score double, snippet string"
+        )
+    sdf = spark.createDataFrame(
+        [(r["docid"], float(r["score"])) for r in scores],
+        "docid long, score double",
+    )
+    docids = [r["docid"] for r in scores]
+    hits = index.docs.filter(F.col("docid").isin(docids)).select(
+        "docid", "url"
+    )
+    urls = [r["url"] for r in hits.collect()]
+    snip_terms = [t for t, _ in tokenize(query, stem=False, cap=None)
+                  if t not in STOPWORDS]
+    body = (
+        corpus.filter(F.col(url_col).isin(urls))
+        .select(
+            F.col(url_col).alias("url"),
+            snippet_expr(snip_terms, text_col, snippet_len).alias("snippet"),
+        )
+    )
+    return (
+        sdf.join(F.broadcast(hits), "docid")
+        .join(F.broadcast(body), "url")
+        .select("docid", "url", F.round("score", 6).alias("score"), "snippet")
+        .orderBy(F.col("score").desc(), F.col("docid").asc())
+    )
+
+
+def _phrase_term_offsets(phrase: str) -> dict[str, list[int]]:
+    """unique term → 0-based offsets of its occurrences in the phrase."""
     terms = [t for t, _ in tokenize(phrase, stem=False, cap=None)]
-    if not terms:
+    offs: dict[str, list[int]] = {}
+    for o, t in enumerate(terms):
+        offs.setdefault(t, []).append(o)
+    return offs
+
+
+def phrase_docs(index: Index, phrase: str) -> list[int]:
+    """Docids containing the exact adjacent token phrase — driver path.
+
+    Scale shape (reference IndexerProjectPhraseSearch.java:407-440's
+    df-ascending idea, applied at BLOCK level): fetch block METADATA only
+    (no bytes), process terms df-ascending, decode the rarest term fully,
+    and for every later term fetch + decode ONLY the blocks whose
+    [first_docid, last_docid] range intersects a surviving candidate —
+    a phrase containing a frequent term no longer pulls that term's whole
+    posting list to the driver. Adjacency is verified from the stored
+    1-based positions (checkExactMatch :340-376) via candidate-start-set
+    intersection; duplicate phrase terms intersect across their offsets."""
+    offs = _phrase_term_offsets(phrase)
+    if not offs:
         return []
-    blocks = _fetch_term_blocks(index, list(dict.fromkeys(terms)))
-    if any(t not in blocks for t in terms):
+    meta_rows = (
+        index.postings.filter(F.col("term").isin(list(offs)))
+        .select("term", "bucket", "block_id", "first_docid", "last_docid", "n")
+        .collect()
+    )
+    meta: dict[str, list[tuple]] = {}
+    df_by_term: dict[str, int] = {}
+    for r in meta_rows:
+        meta.setdefault(r["term"], []).append(
+            (r["bucket"], r["block_id"], r["first_docid"], r["last_docid"])
+        )
+        df_by_term[r["term"]] = df_by_term.get(r["term"], 0) + r["n"]
+    if any(t not in meta for t in offs):
         return []
-    decoded: dict[str, dict[int, list[int]]] = {}
-    for t in set(terms):
-        per_doc: dict[int, list[int]] = {}
-        for _f, _l, _m, blob in blocks[t]:
-            ds, _tfs, poss = decode_block(blob)
-            for d, p in zip(ds, poss):
-                per_doc[d] = p
-        decoded[t] = per_doc
-    order = sorted(set(terms), key=lambda t: len(decoded[t]))
-    cands = set(decoded[order[0]].keys())
-    for t in order[1:]:
-        cands &= set(decoded[t].keys())
-        if not cands:
+    order = sorted(offs, key=lambda t: df_by_term[t])
+
+    def fetch_blocks(term: str, keys: set[tuple[int, int]] | None):
+        q = index.postings.filter(F.col("term") == term)
+        if keys is not None:
+            # bucket/block_id are both int32; pack into one bigint key so
+            # the pushdown is a single IN filter
+            packed = [b * (1 << 32) + i for (b, i) in keys]
+            q = q.filter(
+                (F.col("bucket").cast("long") * F.lit(1 << 32)
+                 + F.col("block_id")).isin(packed)
+            )
+        return q.select("bucket", "block_id", "block").collect()
+
+    # starts[docid] = set of phrase-start positions consistent with every
+    # term processed so far
+    starts: dict[int, set[int]] = {}
+    for ti, t in enumerate(order):
+        if ti == 0:
+            rows = fetch_blocks(t, None)
+        else:
+            cand = sorted(starts)
+            if not cand:
+                return []
+            import bisect
+
+            need: set[tuple[int, int]] = set()
+            for bk, bi, fd, ld in meta[t]:
+                j = bisect.bisect_left(cand, fd)
+                if j < len(cand) and cand[j] <= ld:
+                    need.add((bk, bi))
+            if not need:
+                return []
+            rows = fetch_blocks(t, need)
+        term_starts: dict[int, set[int]] = {}
+        for r in rows:
+            ds, _tfs, _dls, poss = decode_block(bytes(r["block"]))
+            for d, plist in zip(ds, poss):
+                if ti > 0 and d not in starts:
+                    continue
+                pset = set(plist)
+                s: set[int] | None = None
+                for o in offs[t]:
+                    cur = {p - o for p in pset if p - o >= 1}
+                    s = cur if s is None else (s & cur)
+                    if not s:
+                        break
+                if s:
+                    term_starts[d] = s
+        if ti == 0:
+            starts = term_starts
+        else:
+            nxt: dict[int, set[int]] = {}
+            for d, s in term_starts.items():
+                inter = starts[d] & s
+                if inter:
+                    nxt[d] = inter
+            starts = nxt
+        if not starts:
             return []
-    out = []
-    for d in sorted(cands):
-        pos_sets = [set(decoded[t][d]) for t in terms]
-        for p in sorted(pos_sets[0]):
-            if all((p + i) in pos_sets[i] for i in range(1, len(terms))):
-                out.append(d)
-                break
-    return out
+    return sorted(starts)
+
+
+def phrase_docs_distributed(index: Index, phrase: str) -> DataFrame:
+    """Phrase search as a fully distributed Spark plan (the 10^12-doc path).
+
+    Partition-pruned scan of the phrase terms' blocks → Arrow-batched
+    decode to (term, docid, pos) → one (docid, start)-keyed join per
+    phrase offset (start = pos - offset) → DISTINCT docid. Shuffle sizes
+    are the terms' posting lists; nothing touches the driver."""
+    offs = _phrase_term_offsets(phrase)
+    spark = index.spark
+    if not offs:
+        return spark.createDataFrame([], "docid long")
+    uniq = list(offs)
+
+    def decode_pos(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            o_term: list[str] = []
+            o_doc: list[int] = []
+            o_pos: list[int] = []
+            for term, blob in zip(pdf["term"], pdf["block"]):
+                ds, _tfs, _dls, poss = decode_block(bytes(blob))
+                for d, plist in zip(ds, poss):
+                    o_term.extend([term] * len(plist))
+                    o_doc.extend([d] * len(plist))
+                    o_pos.extend(plist)
+            yield pd.DataFrame(
+                {"term": pd.Series(o_term, dtype="object"),
+                 "docid": pd.Series(o_doc, dtype="int64"),
+                 "pos": pd.Series(o_pos, dtype="int64")}
+            )
+
+    decoded = (
+        index.postings.filter(F.col("term").isin(uniq))
+        .select("term", "block")
+        .mapInPandas(decode_pos, schema="term string, docid long, pos long")
+    )
+    legs = []
+    for t, t_offs in offs.items():
+        for o in t_offs:
+            legs.append(
+                decoded.filter(F.col("term") == t)
+                .select("docid", (F.col("pos") - F.lit(o)).alias("start"))
+                .filter(F.col("start") >= 1)
+            )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.join(leg, ["docid", "start"])
+    return out.select("docid").distinct()

@@ -1,0 +1,52 @@
+"""Sampling operators (Flame op #14, reference flame/Worker.java:136-172:
+per-row Bernoulli keep with probability f).
+
+Two variants:
+
+* ``spark_sample`` — the engine-native path: ``df.sample(fraction, seed)``
+  (Bernoulli split per partition, Spark's own RNG). Statistically correct
+  and fast, but the accept set depends on partitioning, so it is verified
+  statistically (count tolerance + subset) in pytest, not value-hashed
+  against an oracle.
+* ``bernoulli_sample`` — hash-Bernoulli: keep a row iff
+  ``md5(seed:key) mod 10^6 < fraction * 10^6``. I.i.d. per key,
+  deterministic across engines and partitionings — the gate-checkable
+  variant, and the variant you want at 10^12 rows anyway (resumable +
+  reproducible regardless of cluster layout).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from search_engine_spark.functions.hashing import md5_int, md5_int_sql
+
+SCALE = 1_000_000
+
+
+def bernoulli_keep_col(key: Column, fraction: float, seed: int | str) -> Column:
+    return (md5_int(key.cast("string"), seed=seed) % SCALE) < int(
+        fraction * SCALE
+    )
+
+
+def bernoulli_sample(
+    df: DataFrame, fraction: float, seed: int | str, key: str
+) -> DataFrame:
+    """Deterministic hash-Bernoulli sample on ``key``."""
+    return df.filter(bernoulli_keep_col(F.col(key), fraction, seed))
+
+
+def bernoulli_sample_sql(
+    fraction: float, seed: int | str, key: str
+) -> str:
+    """DuckDB WHERE-clause mirror of ``bernoulli_sample``."""
+    h = md5_int_sql(f"CAST({key} AS VARCHAR)", seed=seed)
+    return f"({h} % {SCALE}) < {int(fraction * SCALE)}"
+
+
+def spark_sample(
+    df: DataFrame, fraction: float, seed: int = 42
+) -> DataFrame:
+    """Native ``df.sample`` (Bernoulli, seeded)."""
+    return df.sample(fraction=fraction, seed=seed)

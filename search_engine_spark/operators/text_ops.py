@@ -105,10 +105,15 @@ def bm25_topk(
 ) -> DataFrame:
     """Exhaustive BM25 top-k over a (docid, text) table — declarative plan.
 
-    The query-term filter is applied BEFORE the tf aggregation so Catalyst
-    only shuffles rows for the query's terms (the analogue of posting-list
-    lookup); dl/avgdl/N come from cheap global aggregates. Returns
-    (docid, score) with score rounded to SCORE_DECIMALS, ordered
+    Single-pass shape: ONE narrow projection computes (docid, dl,
+    tf_per_query_term) per row — no explode, no per-occurrence shuffle.
+    Corpus stats (N, avgdl, df per term) are one global aggregate over that
+    projection (Catalyst reuses the subtree), broadcast back via crossJoin;
+    the candidate filter (any tf > 0) prunes before scoring and the final
+    ORDER BY … LIMIT compiles to TakeOrderedAndProject. Versus the naive
+    4-scan formulation (tf agg + df agg + dl agg + dl join) this reads the
+    corpus once per subtree use (2×) and shuffles nothing but the stats row.
+    Returns (docid, score), score rounded to SCORE_DECIMALS, ordered
     (score desc, docid asc), limited to k.
     """
     terms = query_terms(query)
@@ -116,47 +121,47 @@ def bm25_topk(
         return docs.sparkSession.createDataFrame(
             [], "docid long, score double"
         )
-    toks = exploded_terms(docs, docid, text)
-    dl = (
-        doc_lengths(docs, docid, text)
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.avg("dl").alias("avgdl"),
+    arr = tokens_col(text)
+
+    def _eq(t: str):
+        # NB: a 1-arg lambda is required — F.filter treats 2-arg callables
+        # (incl. default-arg closures) as (element, index) lambdas.
+        return lambda x: x == F.lit(t)
+
+    per_doc = docs.select(
+        F.col(docid).alias("docid"),
+        F.size(arr).alias("dl"),
+        *[
+            F.size(F.filter(arr, _eq(t))).alias(f"tf{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    any_hit = F.col("tf0") > 0
+    for i in range(1, len(terms)):
+        any_hit = any_hit | (F.col(f"tf{i}") > 0)
+    denom_norm = F.lit(K1) * (
+        F.lit(1.0 - B) + F.lit(B) * F.col("dl") / F.col("avgdl")
+    )
+    score = F.lit(0.0)
+    for i in range(len(terms)):
+        tf_i = F.col(f"tf{i}")
+        part = (
+            bm25_idf_col(F.col("n_docs"), F.col(f"df{i}"))
+            * tf_i * F.lit(K1 + 1.0) / (tf_i + denom_norm)
         )
-    )
-    # per-(doc, term) tf for query terms only — filter pushed below the agg
-    tf = (
-        toks.filter(F.col("term").isin(terms))
-        .groupBy("docid", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    # per-term df over the full corpus (for the query terms only)
-    dfreq = (
-        toks.filter(F.col("term").isin(terms))
-        .select("docid", "term")
-        .distinct()
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df"))
-    )
-    doclen = doc_lengths(docs, docid, text)
+        score = score + F.when(tf_i > 0, part).otherwise(F.lit(0.0))
     scored = (
-        tf.join(F.broadcast(dfreq), "term")
-        .join(doclen, "docid")
-        .crossJoin(F.broadcast(dl))
-        .withColumn("idf", bm25_idf_col(F.col("n_docs"), F.col("df")))
-        .withColumn(
-            "part",
-            F.col("idf")
-            * F.col("tf")
-            * F.lit(K1 + 1.0)
-            / (
-                F.col("tf")
-                + F.lit(K1)
-                * (F.lit(1.0 - B) + F.lit(B) * F.col("dl") / F.col("avgdl"))
-            ),
-        )
-        .groupBy("docid")
-        .agg(F.round(F.sum("part"), SCORE_DECIMALS).alias("score"))
+        per_doc.filter(any_hit)
+        .crossJoin(F.broadcast(stats))
+        .select("docid", F.round(score, SCORE_DECIMALS).alias("score"))
     )
     return scored.orderBy(F.col("score").desc(), F.col("docid").asc()).limit(k)
 
@@ -168,16 +173,24 @@ def bm25_topk_sql_oracle(
     docid: str = "doc_id",
     text: str = "text",
     where: str = "TRUE",
+    weights: dict[str, int] | None = None,
 ) -> str:
     """ANSI/DuckDB SQL mirror of bm25_topk — same constants, same rounding,
-    same tie-break. Used as the correctness-gate oracle."""
+    same tie-break. Used as the correctness-gate oracle.
+
+    ``weights``: per-term score multiplicity. Mirrors dual-indexing query
+    semantics (query matches BOTH the original term and its Porter stem;
+    oracle/bm25.py query_terms) on corpora whose stem classes are
+    singletons: a term whose stem differs contributes twice."""
     terms = query_terms(query)
-    terms_sql = ", ".join(f"('{t}')" for t in terms)
+    terms_sql = ", ".join(
+        f"('{t}', {weights.get(t, 1) if weights else 1})" for t in terms
+    )
     return f"""
 WITH docs AS (
   SELECT {docid} AS docid, {text} AS txt FROM {table} WHERE {where}
 ),
-qterms(term) AS (VALUES {terms_sql}),
+qterms(term, w) AS (VALUES {terms_sql}),
 toks AS (
   SELECT docid, t.term
   FROM docs,
@@ -200,11 +213,13 @@ dfreq AS (SELECT term, count(DISTINCT docid) AS df FROM tf GROUP BY term),
 scored AS (
   SELECT tf.docid,
          round(sum(
-           ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+           qterms.w
+           * ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
            * tf.tf * {K1 + 1.0}
            / (tf.tf + {K1} * ({1.0 - B} + {B} * doclen.dl / stats.avgdl))
          ), {SCORE_DECIMALS}) AS score
   FROM tf
+  JOIN qterms USING (term)
   JOIN dfreq USING (term)
   JOIN doclen ON tf.docid = doclen.docid
   CROSS JOIN stats

@@ -95,7 +95,10 @@ def resumable_build(
     docs = assign_docids(src.select("url", "text"), partitions=n_chunks)
     docs.persist()
     n_total = docs.count()
-    fp = corpus_fingerprint(docs)
+    # the fingerprint covers the chunk LAYOUT too: a lineage row from a run
+    # with a different n_chunks describes different docid ranges and must
+    # not mark this run's chunks as done
+    fp = f"{corpus_fingerprint(docs)}:c{n_chunks}"
     chunk_span = max(1, (n_total + n_chunks - 1) // n_chunks)
 
     done = {
@@ -140,6 +143,22 @@ def resumable_build(
             )
 
     # ---- assembly (deterministic function of the raw chunks) ----
+    # Validate the raw/ directory against THIS run's chunk set first: a
+    # prior run into the same out_dir with different n_chunks (or different
+    # input) can leave chunk=<i> directories that no current lineage row
+    # owns; silently folding them in would corrupt doc/term stats and
+    # postings. In-range chunks are safe (fingerprint-mismatched ones were
+    # just rebuilt with mode=overwrite); anything else is deleted.
+    import re
+    import shutil
+
+    raw_root = os.path.join(out_dir, "raw")
+    if os.path.isdir(raw_root):
+        for name in os.listdir(raw_root):
+            m = re.fullmatch(r"chunk=(\d+)", name)
+            if m is None or int(m.group(1)) >= n_chunks:
+                shutil.rmtree(os.path.join(raw_root, name))
+
     t0 = time.time()
     postings = spark.read.parquet(os.path.join(out_dir, "raw"))
     doc_tbl = (

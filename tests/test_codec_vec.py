@@ -60,7 +60,8 @@ def test_encode_arrays_matches_scalar(rows):
             p += g
             plist.append(p)
         positions.append(plist)
-    scalar = encode_block(docids, tfs, positions)
+    dls = [100 + (d % 37) for d in docids]
+    scalar = encode_block(docids, tfs, positions, dls)
     lens = np.array([len(p) for p in positions], dtype=np.int64)
     flat = (
         np.concatenate([np.array(p, dtype=np.int64) for p in positions])
@@ -72,9 +73,10 @@ def test_encode_arrays_matches_scalar(rows):
         np.array(tfs, dtype=np.int64),
         flat,
         lens,
+        np.array(dls, dtype=np.int64),
     )
     assert vec == scalar
-    assert decode_block(vec) == (docids, tfs, positions)
+    assert decode_block(vec) == (docids, tfs, dls, positions)
 
 
 def test_encode_arrays_no_positions():
@@ -82,5 +84,6 @@ def test_encode_arrays_no_positions():
     tfs = np.array([1, 2, 3], dtype=np.int64)
     vec = encode_block_arrays(docids, tfs, None, None)
     assert vec == encode_block([3, 7, 8], [1, 2, 3], None)
-    d, t, p = decode_block(vec)
+    d, t, dl, p = decode_block(vec)
     assert d == [3, 7, 8] and t == [1, 2, 3] and p == [[], [], []]
+    assert dl == [0, 0, 0]  # dls omitted → zero-filled stream

@@ -108,6 +108,41 @@ def test_phrase_matches_oracle(index, oracle, ph):
     assert Q.phrase_docs(index, ph) == oracle.phrase_docs(ph)
 
 
+@pytest.mark.parametrize("ph", PLANTED_PHRASES[:3])
+def test_phrase_distributed_matches_oracle(index, oracle, ph):
+    got = sorted(
+        r["docid"] for r in Q.phrase_docs_distributed(index, ph).collect()
+    )
+    assert got == oracle.phrase_docs(ph)
+
+
+def test_phrase_with_frequent_term(index, oracle, corpus):
+    """Phrases containing a stopword-frequency term: the driver path must
+    prune that term's blocks to candidate ranges (not pull its whole
+    posting list) and still return the exact doc set."""
+    from collections import Counter
+
+    from search_engine_spark.oracle.text import tokenize
+
+    cnt: Counter[str] = Counter()
+    bigrams: Counter[tuple[str, str]] = Counter()
+    for text in corpus.values():
+        toks = [t for t, _ in tokenize(text, stem=False, cap=None)]
+        cnt.update(toks)
+        bigrams.update(zip(toks, toks[1:]))
+    top = cnt.most_common(1)[0][0]  # highest-df valid term in the corpus
+    # a real bigram containing the frequent term, and a rare-word pairing
+    ph_real = next(
+        " ".join(bg) for bg, _n in bigrams.most_common() if top in bg
+    )
+    for ph in (ph_real, f"{top} {top}"):
+        assert Q.phrase_docs(index, ph) == oracle.phrase_docs(ph)
+        got = sorted(
+            r["docid"] for r in Q.phrase_docs_distributed(index, ph).collect()
+        )
+        assert got == oracle.phrase_docs(ph)
+
+
 def test_skew_bucketing_invariance(spark, tmp_path_factory, oracle):
     """Tiny postings_per_bucket forces every frequent term through the
     docid-range bucket path; results must be identical (north_rule: skew

@@ -112,9 +112,10 @@ def test_varint_roundtrip():
 def test_block_roundtrip():
     docids = [3, 7, 8, 100, 10_000_000]
     tfs = [1, 5, 2, 9, 1]
+    dls = [10, 220, 1500, 7, 99]
     poss = [[1], [2, 9, 40], [], [7, 8], [1500]]
-    blk = encode_block(docids, tfs, poss)
-    assert decode_block(blk) == (docids, tfs, poss)
+    blk = encode_block(docids, tfs, poss, dls)
+    assert decode_block(blk) == (docids, tfs, dls, poss)
     assert decode_block_docids(blk) == docids
 
 
@@ -134,8 +135,9 @@ def test_split_blocks_and_blockmax():
     # reassemble
     got = []
     for _bi, blk, bmax, first, last, _n in blocks:
-        ds, ts, _ps = decode_block(blk)
+        ds, ts, dls, _ps = decode_block(blk)
         assert ds[0] == first and ds[-1] == last
+        assert dls == [doclen[d] for d in ds]  # dl colocated in the block
         assert bmax > 0.0
         got.extend(ds)
     assert got == docids

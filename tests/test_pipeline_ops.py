@@ -50,6 +50,30 @@ def test_shingles_and_jaccard(spark, docs):
     assert all(j >= 0.3 for j in pairs.values())
 
 
+def test_spark_sample_and_bernoulli(spark):
+    """Flame #14: native seeded df.sample (statistical contract) and the
+    deterministic hash-Bernoulli variant (exact contract)."""
+    from search_engine_spark.functions.hashing import md5_int_py
+    from search_engine_spark.operators import sampling as SMP
+
+    df = spark.range(0, 20_000).withColumnRenamed("id", "doc_id")
+    s = SMP.spark_sample(df, 0.3, seed=42)
+    n = s.count()
+    assert abs(n - 6000) < 400  # ±~6σ
+    # seeded → reproducible within a session; subset of the input
+    assert s.count() == n
+    assert s.join(df, "doc_id", "left_anti").count() == 0
+
+    b = SMP.bernoulli_sample(df, 0.25, seed=7, key="doc_id")
+    got = sorted(r["doc_id"] for r in b.collect())
+    want = [
+        d for d in range(20_000)
+        if md5_int_py(str(d), seed=7) % SMP.SCALE < 250_000
+    ]
+    assert got == want
+    assert abs(len(got) - 5000) < 400
+
+
 def test_shingles_short_docs(spark):
     """Docs with fewer than n tokens must yield NO shingles (not crash):
     sequence(0, size-n) runs downward when size < n and slice() then errors.

@@ -116,3 +116,26 @@ def test_resumable_build_resumes_and_matches(spark, tmp_path):
 
     m = {r["stage"]: r["n_tasks"] for r in build_metrics(spark, resum).collect()}
     assert m["tokenize"] == 4 and m["assemble"] == 1
+
+
+def test_resumable_build_drops_stale_chunks(spark, tmp_path):
+    """Re-running into the same out_dir with a smaller n_chunks must NOT
+    fold the prior run's extra chunk=<i> directories into the assembly
+    (they would double-count postings)."""
+    pages = gen_pages_df(spark, 120, partitions=4)
+    out = str(tmp_path / "re")
+    s1 = resumable_build(pages, out, n_chunks=4)
+    s2 = resumable_build(pages, out, n_chunks=2)
+    assert s2["n_docs"] == s1["n_docs"]
+    assert sorted(os.listdir(os.path.join(out, "raw"))) == [
+        "chunk=0", "chunk=1"
+    ]
+    direct = str(tmp_path / "direct2")
+    build_index(pages, direct, lang="en", partitions=4)
+    a = Q.load_index(spark, direct)
+    b = Q.load_index(spark, out)
+    ta = {(r["term"], r["df"], r["cf"]) for r in a.terms.collect()}
+    tb = {(r["term"], r["df"], r["cf"]) for r in b.terms.collect()}
+    assert ta == tb
+    for q in ("gentlemen", "prince andrew"):
+        assert Q.topk_wand(a, q, k=20) == Q.topk_wand(b, q, k=20)
