@@ -14,7 +14,7 @@ Env:
 The build-throughput leg measures the engine's own pipeline (corpus
 generation excluded from the timed region; steady-state, session startup
 excluded) — the authoritative metric per BASELINE.json. Scaling runs
-(local[8] vs local[32]) are produced by tools/bench_scaling.py.
+(local-cluster 1x2 vs 4x2 executors) are produced by tools/bench_scaling.py.
 """
 
 from __future__ import annotations
@@ -31,9 +31,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BENCH_QUERIES = [
     "bm25_multi",
     "bm25_index_all",
+    "topk_urls",
     "term_frequencies",
     "document_frequencies",
     "phrase",
+    "phrase_index",
     "minhash_sigs",
     "simhash",
     "jaccard_pairs",

@@ -54,6 +54,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from search_engine_spark.catalog import Warehouse
 from search_engine_spark.functions.codec import DEFAULT_BLOCK_SIZE
 from search_engine_spark.operators.text_ops import bm25_idf_col
 from search_engine_spark.oracle.text import doc_postings
@@ -599,6 +600,9 @@ def _build_index_inner(
     spark, src, out_dir, lang, stem, cap, postings_per_bucket,
     block_size, parts, from_html,
 ) -> dict:
+    # table commits go through the Warehouse abstraction: Iceberg snapshot
+    # commits when a catalog is configured, identical parquet layout here
+    wh = Warehouse(spark, out_dir)
     # stage 1: materialize the url-range-partitioned, sorted snapshot ONCE
     # (pins one sampling of the range boundaries — see assign_docids doc)
     snap_path = os.path.join(out_dir, "_stage", "ranged_snapshot")
@@ -630,28 +634,28 @@ def _build_index_inner(
     doc_tbl = postings.groupBy("docid").agg(F.max("dl").alias("dl")).join(
         docid_url_table(spark, snap_path, offsets), "docid"
     )
-    (
+    wh.write(
         doc_tbl.repartitionByRange(max(1, parts // 4), "docid")
-        .sortWithinPartitions("docid")
-        .write.mode("overwrite").parquet(os.path.join(out_dir, "docs"))
+        .sortWithinPartitions("docid"),
+        "docs",
     )
     # NOTE: an Observation on this write is tempting (zero extra job) but
     # WRONG: repartitionByRange runs a sampling pass that re-executes the
     # child plan, double-firing observed metrics (n_docs came out 2×).
     # The read-back aggregate below is cheap (small columnar table).
-    stats_row = spark.read.parquet(os.path.join(out_dir, "docs")).agg(
+    stats_row = wh.read("docs").agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     ).collect()[0]
     n_docs = int(stats_row["n_docs"])
     avgdl = float(stats_row["avgdl"] or 0.0)
 
     terms = term_stats(postings, n_docs)
-    (
+    wh.write(
         terms.repartitionByRange(max(1, parts // 4), "term")
-        .sortWithinPartitions("term")
-        .write.mode("overwrite").parquet(os.path.join(out_dir, "terms"))
+        .sortWithinPartitions("term"),
+        "terms",
     )
-    terms = spark.read.parquet(os.path.join(out_dir, "terms"))
+    terms = wh.read("terms")
 
     # arrow streaming encoder emits blocks already term-range-partitioned
     # and term-sorted (one shuffle total) → parquet min/max row-group
@@ -661,7 +665,7 @@ def _build_index_inner(
         postings_per_bucket=postings_per_bucket, block_size=block_size,
         partitions=parts,
     )
-    blocks.write.mode("overwrite").parquet(os.path.join(out_dir, "postings"))
+    wh.write(blocks, "postings")
     stats = {
         "n_docs": n_docs,
         "avgdl": avgdl,

@@ -33,6 +33,7 @@ from dataclasses import dataclass
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from search_engine_spark.catalog import Warehouse
 from search_engine_spark.functions.codec import decode_block
 from search_engine_spark.oracle.bm25 import B, K1, bm25_term_score
 from search_engine_spark.oracle.text import STOPWORDS, tokenize
@@ -40,29 +41,39 @@ from search_engine_spark.oracle.text import STOPWORDS, tokenize
 
 @dataclass
 class Index:
-    """Handles to one index warehouse (see operators/indexer.py layout)."""
+    """Handles to one index warehouse (see operators/indexer.py layout).
+    Tables resolve through the Warehouse abstraction: Iceberg when a
+    catalog is configured, the parquet layout otherwise."""
 
     spark: SparkSession
     path: str
     stats: dict
+    iceberg_catalog: str | None = None
+
+    def _wh(self) -> Warehouse:
+        return Warehouse(self.spark, self.path, self.iceberg_catalog)
 
     @property
     def postings(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.path, "postings"))
+        return self._wh().read("postings")
 
     @property
     def terms(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.path, "terms"))
+        return self._wh().read("terms")
 
     @property
     def docs(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.path, "docs"))
+        return self._wh().read("docs")
 
 
-def load_index(spark: SparkSession, path: str) -> Index:
+def load_index(
+    spark: SparkSession, path: str, iceberg_catalog: str | None = None
+) -> Index:
     with open(os.path.join(path, "stats.json")) as fh:
         stats = json.load(fh)
-    return Index(spark=spark, path=path, stats=stats)
+    return Index(
+        spark=spark, path=path, stats=stats, iceberg_catalog=iceberg_catalog
+    )
 
 
 def parse_query(query: str, stem: bool = True) -> list[str]:

@@ -121,15 +121,21 @@ def bm25_topk(
         return docs.sparkSession.createDataFrame(
             [], "docid long, score double"
         )
-    arr = tokens_col(text)
-
     def _eq(t: str):
         # NB: a 1-arg lambda is required — F.filter treats 2-arg callables
         # (incl. default-arg closures) as (element, index) lambdas.
         return lambda x: x == F.lit(t)
 
-    per_doc = docs.select(
-        F.col(docid).alias("docid"),
+    # tokenize ONCE per row: the token array is aliased in its own Project
+    # so the per-term filters reference the alias. CollapseProject keeps the
+    # two Projects separate (the alias is non-cheap and multiply referenced)
+    # — without this, each tf column re-evaluates the regex split.
+    toks_once = docs.select(
+        F.col(docid).alias("docid"), tokens_col(text).alias("_toks")
+    )
+    arr = F.col("_toks")
+    per_doc = toks_once.select(
+        "docid",
         F.size(arr).alias("dl"),
         *[
             F.size(F.filter(arr, _eq(t))).alias(f"tf{i}")
@@ -144,9 +150,6 @@ def bm25_topk(
             for i in range(len(terms))
         ],
     )
-    any_hit = F.col("tf0") > 0
-    for i in range(1, len(terms)):
-        any_hit = any_hit | (F.col(f"tf{i}") > 0)
     denom_norm = F.lit(K1) * (
         F.lit(1.0 - B) + F.lit(B) * F.col("dl") / F.col("avgdl")
     )
@@ -158,10 +161,16 @@ def bm25_topk(
             * tf_i * F.lit(K1 + 1.0) / (tf_i + denom_norm)
         )
         score = score + F.when(tf_i > 0, part).otherwise(F.lit(0.0))
+    # Candidate pruning happens on the UNROUNDED score (> 0 ⟺ some tf > 0,
+    # since idf > 0 always) AFTER the stats join — a pre-aggregation filter
+    # on the tf columns gets pushed below the Project by Catalyst, which
+    # re-inlines the tokenization into the filter condition (k+1 regex
+    # splits per row). This shape tokenizes exactly once per row.
     scored = (
-        per_doc.filter(any_hit)
-        .crossJoin(F.broadcast(stats))
-        .select("docid", F.round(score, SCORE_DECIMALS).alias("score"))
+        per_doc.crossJoin(F.broadcast(stats))
+        .select("docid", score.alias("_s"))
+        .filter(F.col("_s") > 0)
+        .select("docid", F.round("_s", SCORE_DECIMALS).alias("score"))
     )
     return scored.orderBy(F.col("score").desc(), F.col("docid").asc()).limit(k)
 

@@ -27,7 +27,12 @@ import tempfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-EXEC_CORES = 4
+# Executor cores per JVM. Default 2: the 4-executor leg then uses 8 cores
+# total — comfortably inside this host's 16 physical cores even with the
+# driver JVM + per-core Python workers on top, so executor scaling is
+# measured rather than SMT contention (4×4 = 16 exec cores + overhead
+# oversubscribes the physical cores and caps the observable speedup).
+EXEC_CORES = int(os.environ.get("SCAL_CORES", "2"))
 EXEC_MEM_MB = 8192
 TASKS = 128  # same task count both runs: identical work decomposition
 
@@ -176,6 +181,10 @@ def main() -> None:
         with open(md, "w") as fh:
             fh.writelines(lines)
         print(f"wrote {md}")
+
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)  # tmpfs: don't leak 10+ GB runs
 
 
 if __name__ == "__main__":
