@@ -26,7 +26,10 @@ from search_engine_spark.operators import text_ops as T
 from search_engine_spark.operators import textstats as TS
 from search_engine_spark.operators.indexer import build_index
 from search_engine_spark.operators import query as IQ
-from search_engine_spark.functions.hashing import md5_int_sql, md5_int32_sql
+from search_engine_spark.functions.hashing import (
+    md5_int32_sql,
+    md5_two_hash_sql,
+)
 from search_engine_spark.oracle.bm25 import B, K1
 from search_engine_spark.oracle.text import STOPWORDS
 
@@ -420,6 +423,11 @@ def q_jaccard_pairs(spark, sf_dir):
     return D.jaccard_pairs(_docs(spark, sf_dir), threshold=0.08)
 
 
+def q_jaccard_prefix(spark, sf_dir):
+    """High-threshold variant: exercises the PPJoin prefix-filter path."""
+    return D.jaccard_pairs(_docs(spark, sf_dir), threshold=0.3)
+
+
 def q_minhash_sigs(spark, sf_dir):
     return D.minhash_signatures(_docs(spark, sf_dir))
 
@@ -548,6 +556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup / similarity / text analysis
         "dedup_exact": q_dedup_exact,
         "jaccard_pairs": q_jaccard_pairs,
+        "jaccard_prefix": q_jaccard_prefix,
         "minhash_sigs": q_minhash_sigs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
@@ -570,8 +579,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 def _minhash_cte(num_hashes: int = 8) -> str:
+    h1, h2 = md5_two_hash_sql("shingle")
     mh = ", ".join(
-        f"min({md5_int_sql('shingle', seed=j)}) AS mh{j}" for j in range(num_hashes)
+        f"min(h1 + {j} * h2) AS mh{j}" for j in range(num_hashes)
     )
     return f"""
 {TOKS_CTE},
@@ -580,7 +590,8 @@ sh AS (
          array_to_string(toks[g.i : g.i + 2], ' ') AS shingle
   FROM toks, unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS g(i)
 ),
-sigs AS (SELECT docid, {mh} FROM sh GROUP BY docid)
+shh AS (SELECT docid, shingle, {h1} AS h1, {h2} AS h2 FROM sh),
+sigs AS (SELECT docid, {mh} FROM shh GROUP BY docid)
 """
 
 
@@ -1011,6 +1022,7 @@ FROM documents GROUP BY md5(text)
 """
 
     sqls["jaccard_pairs"] = _jaccard_sql(0.08, with_lsh=False)
+    sqls["jaccard_prefix"] = _jaccard_sql(0.3, with_lsh=False)
     sqls["minhash_lsh_pairs"] = _jaccard_sql(0.05, with_lsh=True)
 
     mh_cols = ", ".join(f"mh{j}" for j in range(8))

@@ -23,9 +23,9 @@ All outputs order doc pairs (a < b) for stable comparison.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
-from search_engine_spark.functions.hashing import md5_int, md5_int32
+from search_engine_spark.functions.hashing import md5_int32, md5_two_hash_cols
 from search_engine_spark.operators.text_ops import tokens_col
 
 DEFAULT_SHINGLE = 3
@@ -90,35 +90,90 @@ def shingles(
 # Exact n-gram Jaccard pairs
 # ---------------------------------------------------------------------------
 
+# Below this threshold the PPJoin prefix (|A| - ceil(t·|A|) + 1 shingles)
+# covers nearly the whole set, so the filter's window + joins cost more
+# than they prune; the plain inverted-index join wins.
+PREFIX_FILTER_MIN_T = 0.3
+
+
 def jaccard_pairs(
     df: DataFrame,
     threshold: float,
     docid: str = "doc_id",
     text: str = "text",
     n: int = DEFAULT_SHINGLE,
+    prefix_filter: bool | None = None,
 ) -> DataFrame:
     """(a, b, jaccard) for all doc pairs with shingle-Jaccard ≥ threshold.
 
-    Inverted-index join: only docs sharing a shingle meet; singleton
-    shingles pruned losslessly. jaccard rounded to 6 dp for cross-engine
+    Two LOSSLESS candidate-generation strategies, auto-selected on the
+    threshold (``prefix_filter=None``):
+
+    * **Prefix filtering** (PPJoin; Xiao, Wang, Lin & Yu, WWW 2008;
+      Chaudhuri et al., ICDE 2006) for t ≥ 0.3: order each doc's shingles
+      by global document frequency ascending (rare first) and self-join
+      only the first ``|A| - ceil(t'·|A|) + 1`` per doc. J(A,B) ≥ t forces
+      |A∩B| ≥ t·|A|, so any qualifying pair must meet inside the prefix —
+      the df² blow-up of stop-shingles never materializes. t' = t − 5e-7
+      absorbs the final 6-dp rounding.
+    * **Inverted-index join** for low thresholds (prefix ≈ whole set):
+      pairs sharing ≥1 non-singleton shingle.
+
+    Survivors of either are verified with the exact intersection count;
+    results are identical. jaccard rounded to 6 dp for cross-engine
     stability."""
-    sh = shingles(df, docid, text, n).persist()
+    if prefix_filter is None:
+        prefix_filter = threshold >= PREFIX_FILTER_MIN_T
+    # NB: no internal persist — an operator-owned cache can never be
+    # unpersisted at the right time; callers batching many thresholds over
+    # one corpus should cache shingles() themselves.
+    sh = shingles(df, docid, text, n)
     sizes = sh.groupBy("docid").agg(F.count(F.lit(1)).alias("sz"))
-    # prune shingles that occur in a single doc (cannot form pairs)
-    common = (
-        sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") > 1)
-        .select("shingle")
-    )
-    sh2 = sh.join(common, "shingle")
-    left = sh2.select(F.col("docid").alias("a"), "shingle")
-    right = sh2.select(F.col("docid").alias("b"), "shingle")
-    inter = (
-        left.join(right, "shingle")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("fdf"))
+    nonsingle = sh.join(freq.filter(F.col("fdf") > 1), "shingle")
+    if prefix_filter:
+        t_relaxed = max(0.0, threshold - 5e-7)
+        w = Window.partitionBy("docid").orderBy(
+            F.col("fdf").asc(), F.col("shingle").asc()
+        )
+        cand_src = (
+            nonsingle.withColumn("rid", F.row_number().over(w))
+            .join(sizes, "docid")
+            .filter(
+                F.col("rid")
+                <= F.col("sz") - F.ceil(F.lit(t_relaxed) * F.col("sz")) + 1
+            )
+            .select("docid", "shingle")
+        )
+        cands = (
+            cand_src.select(F.col("docid").alias("a"), "shingle")
+            .join(
+                cand_src.select(F.col("docid").alias("b"), "shingle"),
+                "shingle",
+            )
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b")
+            .distinct()
+        )
+        # exact verification of candidates only (pair-local intersection)
+        left = sh.select(F.col("docid").alias("a"), "shingle")
+        right = sh.select(F.col("docid").alias("b"), "shingle")
+        inter = (
+            cands.join(left, "a")
+            .join(right, ["b", "shingle"])
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+    else:
+        # low threshold: count intersections directly off the self-join
+        left = nonsingle.select(F.col("docid").alias("a"), "shingle")
+        right = nonsingle.select(F.col("docid").alias("b"), "shingle")
+        inter = (
+            left.join(right, "shingle")
+            .filter(F.col("a") < F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
     out = (
         inter.join(sizes.select(F.col("docid").alias("a"), F.col("sz").alias("sza")), "a")
         .join(sizes.select(F.col("docid").alias("b"), F.col("sz").alias("szb")), "b")
@@ -148,12 +203,12 @@ def minhash_signatures(
     num_hashes: int = DEFAULT_NUM_HASHES,
 ) -> DataFrame:
     """(docid, mh0..mh{k-1}) — MinHash signature per doc: min over its
-    shingles of k independent md5-derived hash functions. One shuffle
-    (groupBy docid) with map-side partial min aggregation."""
+    shingles of k hash functions from the two-hash family h_j = h1 + j·h2
+    (Kirsch & Mitzenmacher 2006) — ONE md5 digest per shingle instead of
+    k. One shuffle (groupBy docid) with map-side partial min aggregation."""
     sh = shingles(df, docid, text, n)
     hashed = sh.select(
-        "docid",
-        *[md5_int(F.col("shingle"), seed=j).alias(f"h{j}") for j in range(num_hashes)],
+        "docid", *md5_two_hash_cols(F.col("shingle"), num_hashes)
     )
     return hashed.groupBy("docid").agg(
         *[F.min(f"h{j}").alias(f"mh{j}") for j in range(num_hashes)]

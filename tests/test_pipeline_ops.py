@@ -7,7 +7,10 @@ import math
 import pytest
 from pyspark.sql import functions as F
 
-from search_engine_spark.functions.hashing import md5_int_py, md5_int32_py
+from search_engine_spark.functions.hashing import (
+    md5_int32_py,
+    md5_two_hash_py,
+)
 from search_engine_spark.operators import dedup as D
 from search_engine_spark.operators import multimodal as M
 from search_engine_spark.operators import similarity as S
@@ -104,13 +107,28 @@ def test_minhash_matches_python(spark, docs):
     def py_sig(text, j):
         toks = text.split()
         sh = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
-        return min(md5_int_py(s, seed=j) for s in sh)
+        return min(md5_two_hash_py(s, j) for s in sh)
 
     for did, text in [(0, "the quick brown fox jumps over the lazy dog")]:
         for j in range(8):
             assert sigs[did][f"mh{j}"] == py_sig(text, j)
     # exact duplicates share full signatures
     assert all(sigs[0][f"mh{j}"] == sigs[3][f"mh{j}"] for j in range(8))
+
+
+def test_jaccard_prefix_equals_direct(spark, docs):
+    """PPJoin prefix filtering is lossless: both candidate strategies must
+    return identical (a, b, jaccard) sets at any threshold."""
+    for t in (0.1, 0.3, 0.6):
+        direct = {
+            (r["a"], r["b"], r["jaccard"])
+            for r in D.jaccard_pairs(docs, t, prefix_filter=False).collect()
+        }
+        pref = {
+            (r["a"], r["b"], r["jaccard"])
+            for r in D.jaccard_pairs(docs, t, prefix_filter=True).collect()
+        }
+        assert pref == direct
 
 
 def test_lsh_finds_dup_pairs(spark, docs):
