@@ -469,6 +469,14 @@ def q_fingerprint(spark, sf_dir):
     return TS.fingerprint(_docs(spark, sf_dir))
 
 
+def q_bpe_tokens(spark, sf_dir):
+    return TS.bpe_token_estimate(_docs(spark, sf_dir))
+
+
+def q_cosine_near_pairs(spark, sf_dir):
+    return S.cosine_near_pairs(_t(spark, sf_dir, "embeddings"), 0.44)
+
+
 def q_extract_digits(spark, sf_dir):
     """T8 pattern-token extraction (zip-code machinery) over customer names."""
     c = _t(spark, sf_dir, "customer").select(
@@ -566,6 +574,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": q_quality,
         "token_counts": q_token_counts,
         "fingerprint": q_fingerprint,
+        "bpe_tokens": q_bpe_tokens,
+        "cosine_near_pairs": q_cosine_near_pairs,
         "extract_digits": q_extract_digits,
         # approximate (rows-only)
         "lsh_topk": q_lsh_topk,
@@ -1095,6 +1105,34 @@ FROM toks
     sqls["fingerprint"] = f"""
 WITH {TOKS_CTE}
 SELECT docid, md5(array_to_string(toks, ' ')) AS fp FROM toks
+"""
+
+    sqls["bpe_tokens"] = f"""
+WITH {TOKS_CTE},
+p AS (
+  SELECT doc_id AS docid,
+         len(regexp_extract_all(lower(text), '{TS.BPE_PIECE_RE}'))::INT AS n_pieces
+  FROM documents
+)
+SELECT p.docid, p.n_pieces, len(t.toks)::INT AS n_words,
+       CASE WHEN len(t.toks) > 0
+            THEN round(p.n_pieces * 1.0 / len(t.toks), 6)
+            ELSE 0.0 END AS pieces_per_word
+FROM p JOIN toks t ON t.docid = p.docid
+"""
+
+    sqls["cosine_near_pairs"] = """
+WITH s AS (
+  SELECT a.vec_id AS a, b.vec_id AS b,
+         sum(list_extract(a.embedding, g.i)::DOUBLE * list_extract(b.embedding, g.i)::DOUBLE) AS dot,
+         sum(list_extract(a.embedding, g.i)::DOUBLE * list_extract(a.embedding, g.i)::DOUBLE) AS na,
+         sum(list_extract(b.embedding, g.i)::DOUBLE * list_extract(b.embedding, g.i)::DOUBLE) AS nb
+  FROM embeddings a, embeddings b, unnest(generate_series(1, 64)) AS g(i)
+  WHERE a.vec_id < b.vec_id
+  GROUP BY a.vec_id, b.vec_id
+)
+SELECT a, b, round(dot / (sqrt(na) * sqrt(nb)), 6) AS cos
+FROM s WHERE round(dot / (sqrt(na) * sqrt(nb)), 6) >= 0.44
 """
 
     sqls["extract_digits"] = """

@@ -261,34 +261,32 @@ def split_blocks(
         )
 
 
+_B1 = [bytes((1, p)) for p in range(128)]  # n=1, first<128: 2 bytes, interned
+
+
 def encode_positions(plist: list[int]) -> bytes:
     """Per-posting positions section: varint n_pos, varint first, varint
     gaps — exactly the block format's per-posting layout, so a block's
-    positions region is the raw concatenation of these. Fast path: all
-    values < 128 encode as single bytes."""
+    positions region is the raw concatenation of these (build hot path:
+    called once per (doc, term)). Fast paths: the ubiquitous tf=1 case is
+    an interned 2-byte lookup; gaps < 128 append as raw bytes (a 1-byte
+    varint IS the value)."""
     n = len(plist)
     if n == 0:
         return b"\x00"
     first = plist[0]
-    if n < 128 and first < 128:
-        gaps = [n, first]
-        ok = True
-        prev = first
-        for p in plist[1:]:
-            g = p - prev
-            if g >= 128:
-                ok = False
-                break
-            gaps.append(g)
-            prev = p
-        if ok:
-            return bytes(gaps)
+    if n == 1 and first < 128:
+        return _B1[first]
     out = bytearray()
     varint_encode(n, out)
     varint_encode(first, out)
     prev = first
     for p in plist[1:]:
-        varint_encode(p - prev, out)
+        g = p - prev
+        if g < 128:
+            out.append(g)
+        else:
+            varint_encode(g, out)
         prev = p
     return bytes(out)
 

@@ -98,6 +98,79 @@ def knn_join(
     )
 
 
+def cosine_near_pairs(
+    emb: DataFrame,
+    threshold: float,
+    vec_id: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """(a, b, cos) — EXACT all pairs with cosine ≥ threshold (embedding
+    near-duplicate detection). Inherently quadratic: the exact verifier /
+    small-table path; ``cosine_near_pairs_lsh`` is the bucketed scale
+    path. cos rounded to 6 dp; pairs ordered a < b."""
+    a = emb.select(F.col(vec_id).alias("a"), F.col(vec).alias("va"))
+    b = emb.select(F.col(vec_id).alias("b"), F.col(vec).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", cosine_col(F.col("va"), F.col("vb")).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )
+
+
+def cosine_near_pairs_lsh(
+    emb: DataFrame,
+    threshold: float,
+    dim: int,
+    n_planes: int = 8,
+    max_hamming: int = 2,
+    vec_id: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Bucketed near-pair scale path: sign-LSH signatures (deterministic
+    hyperplanes), candidates = pairs agreeing exactly on ≥1 of
+    ``max_hamming+1`` signature bit-bands (pigeonhole: covers every pair
+    within that signature hamming distance), verified by EXACT cosine ≥
+    threshold. Precision is exact; recall is the standard LSH trade
+    (pairs whose signatures differ in > max_hamming bits are missed) and
+    rises with n_planes/max_hamming. Cost ∝ bucket sizes, not corpus²."""
+    sigs = lsh_signature(emb, dim, n_planes, vec_id, vec)
+    nbands = max_hamming + 1
+    width = max(1, n_planes // nbands)
+    parts = []
+    for bnd in range(nbands):
+        shift = bnd * width
+        w = width if bnd < nbands - 1 else n_planes - shift
+        mask = (1 << w) - 1
+        parts.append(
+            sigs.select(
+                "vec_id",
+                "v",
+                F.lit(bnd).alias("band"),
+                F.shiftright(F.col("sig"), shift)
+                .bitwiseAND(F.lit(mask))
+                .alias("key"),
+            )
+        )
+    banded = parts[0]
+    for p in parts[1:]:
+        banded = banded.unionByName(p)
+    left = banded.select(
+        "band", "key", F.col("vec_id").alias("a"), F.col("v").alias("va")
+    )
+    right = banded.select(
+        "band", "key", F.col("vec_id").alias("b"), F.col("v").alias("vb")
+    )
+    return (
+        left.join(right, ["band", "key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "va", "vb")
+        .distinct()
+        .select("a", "b", cosine_col(F.col("va"), F.col("vb")).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sign-LSH (random hyperplanes) — the approximate scale path
 # ---------------------------------------------------------------------------

@@ -46,6 +46,37 @@ def token_counts(
     )
 
 
+# BPE-ish subword pieces: letter chunks ≤4 chars (the typical subword
+# granularity), digit chunks ≤3 (number tokenization), single punctuation.
+# Alternatives have disjoint first-char classes and greedy bounded
+# quantifiers, so Java regex (Spark) and RE2 (DuckDB) match identically.
+BPE_PIECE_RE = r"[a-z]{1,4}|[0-9]{1,3}|[^a-z0-9\s]"
+
+
+def bpe_token_estimate(
+    df: DataFrame, docid: str = "doc_id", text: str = "text"
+) -> DataFrame:
+    """(docid, n_pieces, n_words, pieces_per_word) — regex-chunk estimate
+    of a BPE tokenizer's token count (what an LLM-data pipeline budgets
+    by), fully engine-portable (no tokenizer library)."""
+    pieces = F.regexp_extract_all(
+        F.lower(F.col(text)), F.lit(BPE_PIECE_RE), 0
+    )
+    words = tokens_col(text)
+    out = df.select(
+        F.col(docid).alias("docid"),
+        F.size(pieces).alias("n_pieces"),
+        F.size(words).alias("n_words"),
+    )
+    return out.withColumn(
+        "pieces_per_word",
+        F.when(
+            F.col("n_words") > 0,
+            F.round(F.col("n_pieces") / F.col("n_words"), Q_DECIMALS),
+        ).otherwise(F.lit(0.0)),
+    )
+
+
 def _stop_hits(toks: Column) -> Column:
     stops = F.array(*[F.lit(s) for s in sorted(STOPWORDS)])
     return F.size(F.filter(toks, lambda x: F.array_contains(stops, x)))

@@ -21,6 +21,7 @@ Tokenization mirrors /root/reference/src/cis5550/jobs/IndexerProject.java:349-40
 from __future__ import annotations
 
 import re
+from functools import lru_cache
 
 from search_engine_spark.oracle.porter import porter_stem
 
@@ -74,10 +75,13 @@ _TOKEN_SPLIT_RE = re.compile(r"[^a-z0-9$%]+")
 _ONLY_SPECIALS_RE = re.compile(r"^[$%#]+$")
 
 
+@lru_cache(maxsize=1 << 16)
 def valid_word(tok: str) -> bool:
     """Keep tokens whose first char is alphanumeric or one of $ % (and that
     are not made purely of special chars).
-    Reference: IndexerProject.java:176-189."""
+    Reference: IndexerProject.java:176-189.
+    Memoized: token frequencies are zipfian, so the regex+isalnum test hits
+    the cache for almost every occurrence (pure function of the token)."""
     if not tok:
         return False
     c0 = tok[0]

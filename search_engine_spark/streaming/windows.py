@@ -113,6 +113,48 @@ def session_windows(
     )
 
 
+def streaming_first_seen(
+    docs_stream: DataFrame, docid: str = "doc_id", text: str = "text"
+) -> DataFrame:
+    """Streaming exact dedup — a CUSTOM stateful operator via
+    ``applyInPandasWithState``: emit each content hash's FIRST occurrence
+    only, across the whole stream. Per-key state (one flag per hash) lives
+    in the state store; later micro-batches containing the same content
+    emit nothing. Within the first micro-batch that sees a hash, the
+    smallest docid wins (deterministic survivor).
+
+    This is the streaming face of operators/dedup.exact_dedup: a crawl
+    ingest can drop duplicate page bodies at arrival time instead of in a
+    batch pass."""
+    import pandas as pd
+
+    src = docs_stream.select(
+        F.md5(F.col(text)).alias("content_hash"),
+        F.col(docid).alias("docid"),
+    )
+
+    def emit_first(key, pdfs, state):
+        if state.exists:
+            return iter(())
+        best = None
+        for pdf in pdfs:
+            if len(pdf):
+                m = int(pdf["docid"].min())
+                best = m if best is None else min(best, m)
+        state.update((1,))
+        return iter(
+            [pd.DataFrame({"content_hash": [key[0]], "docid": [best]})]
+        )
+
+    return src.groupBy("content_hash").applyInPandasWithState(
+        emit_first,
+        outputStructType="content_hash string, docid long",
+        stateStructType="seen int",
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
+
 def run_stream_to_memory(
     df: DataFrame, name: str, output_mode: str = "append"
 ) -> None:

@@ -214,6 +214,42 @@ def test_knn_join_ranks(spark, emb):
         assert all(r[1] != q for r in rows)
 
 
+def test_cosine_near_pairs_exact_and_lsh(spark, emb):
+    """Exact near-pairs match a numpy oracle; the LSH-bucketed path is a
+    subset with exact precision, and converges to full recall as the
+    banding admits more signature hamming distance."""
+    import numpy as np
+
+    rows = {r["vec_id"]: np.array(r["embedding"], float) for r in emb.collect()}
+    want = set()
+    for a in rows:
+        for b in rows:
+            if a < b:
+                c = float(rows[a] @ rows[b] / (np.linalg.norm(rows[a]) * np.linalg.norm(rows[b])))
+                if round(c, 6) >= 0.3:
+                    want.add((a, b))
+    got = {(r["a"], r["b"]) for r in S.cosine_near_pairs(emb, 0.3).collect()}
+    assert got == want and len(want) >= 3
+    lsh = {
+        (r["a"], r["b"])
+        for r in S.cosine_near_pairs_lsh(
+            emb, 0.3, dim=16, n_planes=6, max_hamming=2
+        ).collect()
+    }
+    assert lsh <= got
+    # max_hamming = n_planes - 1 → every pair shares a 1-bit band unless
+    # signatures differ in ALL bits; recall is high (not total — a pair
+    # can disagree on every hyperplane sign and still have cos ≥ t)
+    full = {
+        (r["a"], r["b"])
+        for r in S.cosine_near_pairs_lsh(
+            emb, 0.3, dim=16, n_planes=6, max_hamming=5
+        ).collect()
+    }
+    assert lsh <= full <= got
+    assert len(full) >= 0.8 * len(got)
+
+
 def test_lsh_topk_subset_of_exact(spark, emb):
     rows = {r["vec_id"]: r["embedding"] for r in emb.collect()}
     q = [float(x) for x in rows[0]]

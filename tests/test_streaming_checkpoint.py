@@ -19,6 +19,7 @@ from search_engine_spark.streaming.windows import (
     run_stream_to_memory,
     session_windows,
     stream_pages,
+    streaming_first_seen,
     streaming_postings,
     windowed_event_counts,
 )
@@ -84,6 +85,50 @@ def test_streaming_postings_ingest(spark, tmp_path):
     assert n_docs == want_docs
     # tf payload matches the batch tokenizer on a spot-checked doc
     assert got.filter(F.col("tf") <= 0).count() == 0
+
+
+def test_streaming_first_seen_dedup(spark, tmp_path):
+    """Custom stateful operator (applyInPandasWithState): only the first
+    occurrence of each content hash is emitted, across micro-batches."""
+    rows = [
+        (0, "alpha beta gamma"),
+        (1, "delta epsilon"),
+        (2, "alpha beta gamma"),   # dup of 0
+        (3, "unique text here"),
+    ]
+    late = [
+        (4, "alpha beta gamma"),   # dup of 0, later file
+        (5, "delta epsilon"),      # dup of 1
+        (6, "brand new content"),
+    ]
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(1) \
+        .write.parquet(src)
+    spark.createDataFrame(late, "doc_id long, text string").coalesce(1) \
+        .write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    run_stream_to_memory(streaming_first_seen(stream), "first_seen")
+    got = {
+        r["content_hash"]: r["docid"]
+        for r in spark.table("first_seen").collect()
+    }
+    # exactly one row per distinct content, never a second emission, and
+    # the survivor belongs to that content's group (micro-batch order
+    # decides which file is seen first)
+    groups: dict[str, set[int]] = {}
+    for r in (
+        spark.read.parquet(src)
+        .select(F.md5("text").alias("h"), "doc_id")
+        .collect()
+    ):
+        groups.setdefault(r["h"], set()).add(r["doc_id"])
+    assert len(got) == len(groups) == 4
+    for h, d in got.items():
+        assert d in groups[h]
 
 
 def test_resumable_build_resumes_and_matches(spark, tmp_path):
