@@ -208,6 +208,57 @@ def decode_block(
     return docids, tfs, dls, positions
 
 
+def varints_all(buf: bytes) -> "np.ndarray":
+    """Vectorized LEB128 decode of an entire varint stream → int64 array.
+    Inverse of ``varints_vec``; a block's full byte payload is one such
+    stream, so this replaces the per-byte Python walk on the query path."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if b.size == 0:
+        return np.empty(0, dtype=np.int64)
+    ends = np.nonzero(b < 0x80)[0]
+    starts = np.empty_like(ends)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    sizes = ends - starts + 1
+    within = (
+        np.arange(b.size, dtype=np.int64) - np.repeat(starts, sizes)
+    ).astype(np.uint64)
+    contrib = (b & 0x7F).astype(np.uint64) << (np.uint64(7) * within)
+    return np.add.reduceat(contrib, starts).astype(np.int64)
+
+
+def decode_block_np(
+    buf: bytes, positions: bool = False
+) -> tuple:
+    """Vectorized ``decode_block``: (docids, tfs, dls[, pos_lens, pos_flat])
+    as int64 numpy arrays. ``positions=False`` skips assembling the
+    per-posting position lists (scoring paths never need them)."""
+    vals = varints_all(buf)
+    n = int(vals[0]) if vals.size else 0
+    if n == 0:
+        e = np.empty(0, dtype=np.int64)
+        return (e, e, e, e, e) if positions else (e, e, e)
+    docids = np.cumsum(vals[1 : 1 + n])
+    tfs = vals[1 + n : 1 + 2 * n]
+    dls = vals[1 + 2 * n : 1 + 3 * n]
+    if not positions:
+        return docids, tfs, dls
+    tail = vals[1 + 3 * n :]
+    pos_lens = np.empty(n, dtype=np.int64)
+    chunks = []
+    i = 0
+    for k in range(n):
+        m = int(tail[i])
+        pos_lens[k] = m
+        if m:
+            chunks.append(np.cumsum(tail[i + 1 : i + 1 + m]))
+        i += 1 + m
+    pos_flat = (
+        np.concatenate(chunks) if chunks else np.empty(0, dtype=np.int64)
+    )
+    return docids, tfs, dls, pos_lens, pos_flat
+
+
 def decode_block_docids(buf: bytes) -> list[int]:
     """Docids only (skip tfs/positions decode for intersection-only paths)."""
     off = 0

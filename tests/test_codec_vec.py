@@ -7,9 +7,11 @@ from hypothesis import given, settings, strategies as st
 
 from search_engine_spark.functions.codec import (
     decode_block,
+    decode_block_np,
     encode_block,
     encode_block_arrays,
     varint_decode,
+    varints_all,
     varints_vec,
 )
 
@@ -34,6 +36,7 @@ def test_varints_vec_roundtrip(vals):
         v, off = varint_decode(buf, off)
         out.append(v)
     assert out == vals and off == len(buf)
+    assert varints_all(buf).tolist() == vals  # vectorized full-stream decode
 
 
 @settings(max_examples=100, deadline=None)
@@ -77,6 +80,15 @@ def test_encode_arrays_matches_scalar(rows):
     )
     assert vec == scalar
     assert decode_block(vec) == (docids, tfs, dls, positions)
+    # vectorized decoder ≡ scalar decoder
+    nd, nt, nl, plens, pflat = decode_block_np(vec, positions=True)
+    assert nd.tolist() == docids and nt.tolist() == tfs
+    assert nl.tolist() == dls
+    assert plens.tolist() == [len(p) for p in positions]
+    flat = [p for pl in positions for p in pl]
+    assert pflat.tolist() == flat
+    d3, t3, l3 = decode_block_np(vec)
+    assert d3.tolist() == docids and t3.tolist() == tfs and l3.tolist() == dls
 
 
 def test_encode_arrays_no_positions():

@@ -96,6 +96,17 @@ def test_topk_wand_matches_oracle(index, oracle, q):
         assert gs == pytest.approx(ws, abs=1e-9)
 
 
+@pytest.mark.parametrize("q", QUERIES)
+def test_topk_strategies_identical(index, oracle, q):
+    """Forced DAAT-WAND and forced vectorized-bulk must return identical
+    (docid, score) lists — 'auto' only ever picks between these two."""
+    wand = Q.topk_wand(index, q, k=40, strategy="wand")
+    bulk = Q.topk_wand(index, q, k=40, strategy="bulk")
+    assert [d for d, _ in wand] == [d for d, _ in bulk]
+    for (_, a), (_, b) in zip(wand, bulk):
+        assert a == pytest.approx(b, abs=1e-9)
+
+
 def test_wand_small_k_prunes_but_exact(index, oracle):
     for q in ("gentlemen", "bloodthirsty soldier", "prince andrew"):
         got = Q.topk_wand(index, q, k=5)
