@@ -140,6 +140,15 @@ def q_bm25_index_all(spark, sf_dir):
     return out.select("docid", F.round("score", 6).alias("score"))
 
 
+BATCH_QUERIES = {0: "spark table join", 1: "window", 2: "customer stream vector"}
+
+
+def q_bm25_batch(spark, sf_dir):
+    """Bulk query evaluation: 3 queries, ONE pruned scan + decode."""
+    idx = _cached_index(spark, sf_dir)
+    return IQ.topk_batch(idx, BATCH_QUERIES, k=15)
+
+
 def q_topk_urls(spark, sf_dir):
     """Result assembly: (docid, url, score, snippet) — what the reference
     frontend actually returns to the user."""
@@ -536,6 +545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_single": q_bm25_single,
         "bm25_rare": q_bm25_rare,
         "bm25_index_all": q_bm25_index_all,
+        "bm25_batch": q_bm25_batch,
         "topk_urls": q_topk_urls,
         "stemmed_topk": q_stemmed_topk,
         "top_terms": q_top_terms,
@@ -845,6 +855,14 @@ FROM d, n
     sqls["bm25_single"] = T.bm25_topk_sql_oracle("window", k=20)
     sqls["bm25_rare"] = T.bm25_topk_sql_oracle("customer stream vector", k=15)
     sqls["bm25_index_all"] = T.bm25_topk_sql_oracle("spark table join", k=10_000)
+
+    batch_parts = []
+    for qid, q in BATCH_QUERIES.items():
+        batch_parts.append(f"""
+SELECT {qid}::BIGINT AS qid, docid, score,
+       (row_number() OVER (ORDER BY score DESC, docid ASC))::INT AS rank
+FROM ({T.bm25_topk_sql_oracle(q, k=15)})""")
+    sqls["bm25_batch"] = " UNION ALL ".join(batch_parts)
     from search_engine_spark.oracle.porter import porter_stem
 
     stem_w = {

@@ -150,6 +150,89 @@ def topk_distributed(index: Index, query: str, k: int = 100) -> DataFrame:
     return scored.orderBy(F.col("score").desc(), F.col("docid").asc()).limit(k)
 
 
+def topk_batch(
+    index: Index, queries: dict[int, str], k: int = 100
+) -> DataFrame:
+    """(qid, docid, score, rank) — top-k for MANY queries in ONE Spark plan.
+
+    Bulk query evaluation: the postings scan is pruned to the UNION of all
+    queries' terms and decoded once; a broadcast (term → qid) expansion
+    fans each posting out to the queries that contain its term; one
+    aggregation scores every (qid, docid); a per-qid window takes top-k.
+    Thousands of queries amortize into a single pass over the index — the
+    batch analogue of ``topk_distributed`` (which this reuses nothing from
+    at runtime: one scan TOTAL, not one per query)."""
+    spark = index.spark
+    q_terms = {
+        qid: parse_query(q, stem=index.stats.get("stem", True))
+        for qid, q in queries.items()
+    }
+    pairs = [(qid, t) for qid, ts in q_terms.items() for t in ts]
+    if not pairs:
+        return spark.createDataFrame(
+            [], "qid long, docid long, score double, rank int"
+        )
+    all_terms = sorted({t for _, t in pairs})
+    avgdl = index.stats["avgdl"]
+
+    qmap = spark.createDataFrame(pairs, "qid long, term string")
+    tstats = index.terms.filter(F.col("term").isin(all_terms)).select(
+        "term", "idf"
+    )
+    blocks = index.postings.filter(F.col("term").isin(all_terms)).select(
+        "term", "block"
+    )
+
+    def decode_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            t_l, d_l, f_l, l_l = [], [], [], []
+            for term, blob in zip(pdf["term"], pdf["block"]):
+                d, t, dl = decode_block_np(bytes(blob))
+                t_l.extend([term] * len(d))
+                d_l.append(d)
+                f_l.append(t)
+                l_l.append(dl)
+            if not d_l:
+                continue
+            yield pd.DataFrame(
+                {"term": pd.Series(t_l, dtype="object"),
+                 "docid": np.concatenate(d_l),
+                 "tf": np.concatenate(f_l),
+                 "dl": np.concatenate(l_l)}
+            )
+
+    decoded = blocks.mapInPandas(
+        decode_rows, schema="term string, docid long, tf long, dl long"
+    )
+    from pyspark.sql import Window
+
+    from search_engine_spark.oracle.bm25 import B, K1
+
+    scored = (
+        decoded.join(F.broadcast(tstats), "term")
+        .join(F.broadcast(qmap), "term")
+        .withColumn(
+            "part",
+            F.col("idf") * F.col("tf") * F.lit(K1 + 1.0)
+            / (
+                F.col("tf")
+                + F.lit(K1)
+                * (F.lit(1.0 - B) + F.lit(B) * F.col("dl") / F.lit(avgdl))
+            ),
+        )
+        .groupBy("qid", "docid")
+        .agg(F.round(F.sum("part"), 6).alias("score"))
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col("docid").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "docid", "score", "rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-side Block-Max WAND
 # ---------------------------------------------------------------------------

@@ -99,6 +99,22 @@ def simple_tokens(text: str) -> list[str]:
     return [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
 
 
+# Per-token decision cache: token → (valid, stem-if-different-else-None).
+# One plain-dict probe per occurrence replaces two lru_cache-wrapped calls
+# in the indexer's hottest loop; the vocabulary is zipfian so hit rate ≈ 1.
+# Bounded: cleared if a pathological corpus grows it past the cap (an
+# executor-lifetime cache, like Lucene's term dictionaries).
+_TOKEN_INFO: dict[str, tuple[bool, str | None]] = {}
+_TOKEN_INFO_CAP = 2_000_000
+
+
+def _token_info(tok: str) -> tuple[bool, str | None]:
+    if not valid_word(tok):
+        return (False, None)
+    st = porter_stem(tok)
+    return (True, st if st != tok else None)
+
+
 def tokenize(text: str, stem: bool = True, cap: int | None = MAX_TOKENS_PER_DOC):
     """Full reference-parity token stream.
 
@@ -108,19 +124,23 @@ def tokenize(text: str, stem: bool = True, cap: int | None = MAX_TOKENS_PER_DOC)
     reference IndexerProject.java:378-400). Token cap applies to the number
     of valid positions, not the number of emitted (term, pos) pairs.
     """
+    cache = _TOKEN_INFO
     out: list[tuple[str, int]] = []
     pos = 0
     for tok in _TOKEN_SPLIT_RE.split(text.lower()):
-        if not valid_word(tok):
+        info = cache.get(tok)
+        if info is None:
+            if len(cache) >= _TOKEN_INFO_CAP:
+                cache.clear()
+            info = cache[tok] = _token_info(tok)
+        if not info[0]:
             continue
         pos += 1
         if cap is not None and pos > cap:
             break
         out.append((tok, pos))
-        if stem:
-            st = porter_stem(tok)
-            if st != tok:
-                out.append((st, pos))
+        if stem and info[1] is not None:
+            out.append((info[1], pos))
     return out
 
 
@@ -131,10 +151,16 @@ def doc_postings(text: str, stem: bool = True, cap: int | None = MAX_TOKENS_PER_
     term (tested for equality) — one pass, no intermediate pair list; this
     is the indexer UDF's hot path.
     """
+    cache = _TOKEN_INFO
     per_term: dict[str, list[int]] = {}
     pos = 0
     for tok in _TOKEN_SPLIT_RE.split(text.lower()):
-        if not valid_word(tok):
+        info = cache.get(tok)
+        if info is None:
+            if len(cache) >= _TOKEN_INFO_CAP:
+                cache.clear()
+            info = cache[tok] = _token_info(tok)
+        if not info[0]:
             continue
         pos += 1
         if cap is not None and pos > cap:
@@ -146,8 +172,8 @@ def doc_postings(text: str, stem: bool = True, cap: int | None = MAX_TOKENS_PER_
         else:
             lst.append(pos)
         if stem:
-            st = porter_stem(tok)
-            if st != tok:
+            st = info[1]
+            if st is not None:
                 lst2 = per_term.get(st)
                 if lst2 is None:
                     per_term[st] = [pos]

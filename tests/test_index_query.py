@@ -107,6 +107,18 @@ def test_topk_strategies_identical(index, oracle, q):
         assert a == pytest.approx(b, abs=1e-9)
 
 
+def test_topk_batch_matches_oracle(index, oracle):
+    """One plan for many queries ≡ per-query oracle top-k (rounded 6dp)."""
+    batch = {i: q for i, q in enumerate(QUERIES[:6])}
+    rows = Q.topk_batch(index, batch, k=25).collect()
+    got: dict[int, list[tuple[int, float]]] = {}
+    for r in sorted(rows, key=lambda r: (r["qid"], r["rank"])):
+        got.setdefault(r["qid"], []).append((r["docid"], r["score"]))
+    for qid, q in batch.items():
+        want = [(d, round(s, 6)) for d, s in oracle.topk(q, k=25)]
+        assert got.get(qid, []) == want, q
+
+
 def test_wand_small_k_prunes_but_exact(index, oracle):
     for q in ("gentlemen", "bloodthirsty soldier", "prince andrew"):
         got = Q.topk_wand(index, q, k=5)
