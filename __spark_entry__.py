@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from search_engine_spark.operators import dedup as D
 from search_engine_spark.operators import sampling as SMP
 from search_engine_spark.operators import similarity as S
+from search_engine_spark.operators import multimodal as MM
 from search_engine_spark.operators import text_ops as T
 from search_engine_spark.operators import textstats as TS
 from search_engine_spark.operators.indexer import build_index
@@ -496,6 +497,35 @@ def q_extract_digits(spark, sf_dir):
     )
 
 
+# --- multimodal (binary media columns; deterministic FIMG payloads) ---------
+
+def q_media_decode(spark, sf_dir):
+    """Multimodal decode: documents → deterministic FIMG binary payloads →
+    Arrow-batched decode (mapInPandas) → per-image stats. The linear pixel
+    rule makes mean_px SQL-expressible, so the whole binary round-trip is
+    oracle-checked, not rows-only."""
+    media = MM.media_from_docs(_docs(spark, sf_dir))
+    return MM.decode_images(media).select(
+        "media_id", "width", "height", "mean_px"
+    )
+
+
+def q_media_resize(spark, sf_dir):
+    """Resize (nearest-neighbour, pure numpy) then decode the resized
+    payloads — stats of the resized image are mirrored arithmetically."""
+    media = MM.media_from_docs(_docs(spark, sf_dir))
+    res = MM.resize_images(media, 5, 4).withColumn("kind", F.lit("image"))
+    return MM.decode_images(res).select(
+        "media_id", "width", "height", "mean_px"
+    )
+
+
+def q_media_frames(spark, sf_dir):
+    """Frame sampling for video rows — metadata-only, pure built-ins."""
+    media = MM.media_from_docs(_docs(spark, sf_dir))
+    return MM.sample_frames(media, every_k=4)
+
+
 # --- approximate ops (rows-only gate: no SQL oracle) ------------------------
 
 def q_lsh_topk(spark, sf_dir):
@@ -587,6 +617,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokens": q_bpe_tokens,
         "cosine_near_pairs": q_cosine_near_pairs,
         "extract_digits": q_extract_digits,
+        # multimodal (binary media columns, deterministic FIMG payloads)
+        "media_decode": q_media_decode,
+        "media_resize": q_media_resize,
+        "media_frames": q_media_frames,
         # approximate (rows-only)
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
@@ -1162,6 +1196,50 @@ WITH toks AS (
 SELECT DISTINCT docid, t.digits
 FROM toks, unnest(toks.toks) AS t(digits)
 WHERE regexp_full_match(t.digits, '[0-9]+')
+"""
+
+    # multimodal: payloads are pure functions of doc_id (linear pixel rule
+    # px[i] = (doc_id*31 + i*7) % 256, dims (4+id%13) x (3+id%7)), so the
+    # oracle reproduces decode/resize stats arithmetically — the Spark side
+    # actually round-trips binary through the Arrow decode UDFs.
+    sqls["media_decode"] = """
+WITH m AS (
+  SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
+  FROM documents WHERE doc_id % 3 = 0
+),
+px AS (
+  SELECT m.doc_id, m.w, m.h, (m.doc_id*31 + t.i*7) % 256 AS v
+  FROM m, unnest(generate_series(0, m.w*m.h - 1)) AS t(i)
+)
+SELECT doc_id AS media_id, w::INT AS width, h::INT AS height,
+       floor((sum(v)::DOUBLE / count(*)) * 1e6)/1e6 AS mean_px
+FROM px GROUP BY doc_id, w, h
+"""
+
+    sqls["media_resize"] = """
+WITH m AS (
+  SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
+  FROM documents WHERE doc_id % 3 = 0
+),
+cell AS (
+  SELECT m.doc_id,
+         ((ty.y * m.h) // 4) * m.w + ((tx.x * m.w) // 5) AS idx
+  FROM m, unnest(generate_series(0,3)) AS ty(y),
+          unnest(generate_series(0,4)) AS tx(x)
+)
+SELECT doc_id AS media_id, 5::INT AS width, 4::INT AS height,
+       floor((sum((doc_id*31 + idx*7) % 256)::DOUBLE/count(*))*1e6)/1e6
+         AS mean_px
+FROM cell GROUP BY doc_id
+"""
+
+    sqls["media_frames"] = """
+WITH v AS (
+  SELECT doc_id, 8 + doc_id % 25 AS nf FROM documents WHERE doc_id % 3 = 2
+)
+SELECT doc_id AS media_id, t.i::INT AS frame_idx,
+       doc_id::VARCHAR || '#' || t.i::VARCHAR AS frame_ref
+FROM v, unnest(generate_series(0, nf-1, 4)) AS t(i)
 """
 
     return sqls

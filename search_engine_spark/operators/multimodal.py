@@ -71,6 +71,47 @@ def gen_media_df(
     )
 
 
+def encode_linear_image(doc_id: int, width: int, height: int) -> bytes:
+    """FIMG payload whose pixels follow a linear rule in (doc_id, index):
+    ``px[i] = (doc_id*31 + i*7) % 256``. Chosen so an external SQL engine
+    can reproduce every decode statistic arithmetically — this is what lets
+    the multimodal decode/resize path be oracle-checked end-to-end."""
+    idx = np.arange(width * height, dtype=np.int64)
+    px = ((doc_id * 31 + idx * 7) % 256).astype(np.uint8)
+    return FAKE_MAGIC + struct.pack("<II", width, height) + px.tobytes()
+
+
+def media_from_docs(docs: DataFrame) -> DataFrame:
+    """Deterministic media table derived from a documents(doc_id, ...) table.
+
+    kind cycles image/audio/video by ``doc_id % 3``; image dims are
+    ``(4 + doc_id % 13) x (3 + doc_id % 7)``; video frame counts are
+    ``8 + doc_id % 25``; payloads use the linear pixel rule
+    (:func:`encode_linear_image`). Everything is a pure function of doc_id,
+    so the gate oracle can mirror decode/resize/frame-sample exactly."""
+    src = docs.select(F.col("doc_id").cast("long"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                kind = ("image", "audio", "video")[did % 3]
+                w, h = 4 + did % 13, 3 + did % 7
+                nf = 1 if kind == "image" else 8 + did % 25
+                sr = 16000 if kind == "audio" else 0
+                rows.append(
+                    (did, did, kind, encode_linear_image(did, w, h),
+                     {"width": w, "height": h, "n_frames": nf,
+                      "sample_rate": sr, "codec": "fimg"})
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "doc_id", "kind", "payload", "meta"]
+            )
+
+    return src.mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
 def _decode_payload(payload: bytes) -> np.ndarray:
     """Decode one payload → HxW uint8 array. Real formats would dispatch to
     PIL/libav here."""

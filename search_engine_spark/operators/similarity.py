@@ -239,6 +239,23 @@ def lsh_topk(
 # IVF (inverted-file) variant: coarse quantize to the nearest of C pivots
 # ---------------------------------------------------------------------------
 
+def _ivf_cell_col(
+    vec: Column, pivots: list[tuple[int, list[float]]]
+) -> Column:
+    """Nearest-pivot (by cosine) cell id as a codegen'd Column — the
+    greatest-of-struct trick keeps the argmax JVM-side; ties break to the
+    lowest cell id."""
+    best = None
+    for cid, pv in pivots:
+        pc = F.array(*[F.lit(float(x)) for x in pv])
+        cand = F.struct(
+            cosine_col(vec, pc).alias("cos"),
+            F.lit(-cid).alias("negid"),
+        )
+        best = cand if best is None else F.greatest(best, cand)
+    return (-best.getField("negid")).cast("int")
+
+
 def ivf_assign(
     emb: DataFrame,
     pivots: list[tuple[int, list[float]]],
@@ -247,21 +264,58 @@ def ivf_assign(
 ) -> DataFrame:
     """(vec_id, cell): nearest-pivot (by cosine) coarse assignment.
 
-    Pivots are (cell_id, vector) — at scale they come from a sampled
-    k-means; here any deterministic pivot set works (e.g. first C vectors).
-    greatest-of-struct trick keeps the argmax JVM-side."""
-    best = None
-    for cid, pv in pivots:
-        pc = F.array(*[F.lit(float(x)) for x in pv])
-        cand = F.struct(
-            cosine_col(F.col(vec), pc).alias("cos"),
-            F.lit(-cid).alias("negid"),
-        )
-        best = cand if best is None else F.greatest(best, cand)
+    Pivots are (cell_id, vector) — at scale they come from
+    :func:`kmeans_pivots`; any deterministic pivot set works (e.g. first C
+    vectors)."""
     return emb.select(
         F.col(vec_id).alias("vec_id"),
-        (-best.getField("negid")).cast("int").alias("cell"),
+        _ivf_cell_col(F.col(vec), pivots).alias("cell"),
     )
+
+
+def kmeans_pivots(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    vec_id: str = "vec_id",
+    vec: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Distributed spherical k-means — the IVF pivot trainer for real
+    scale (Lloyd's iterations as DataFrame jobs, not a driver loop over
+    vectors).
+
+    Init = the k lowest-``vec_id`` rows (deterministic). Per iteration:
+    assignment is the codegen'd argmin (:func:`_ivf_cell_col`, no shuffle),
+    and the centroid update is ONE partial-aggregated shuffle keyed on
+    (cell, dim) via posexplode → sum/count; only k×dim means ever reach
+    the driver. Cosine is scale-invariant so the un-normalized cell mean
+    is a valid spherical centroid. Empty cells keep their previous pivot.
+    Centroid components round to 6 dp (cross-partitioning float-sum
+    stability)."""
+    rows = emb.orderBy(F.col(vec_id).asc()).limit(k).collect()
+    cents: dict[int, list[float]] = {
+        i: [float(x) for x in r[vec]] for i, r in enumerate(rows)
+    }
+    for _ in range(iters):
+        pivots = sorted(cents.items())
+        # two-step select: posexplode's multi-alias in the same projection
+        # as the greatest-of-struct argmax breaks struct field resolution
+        stats = (
+            emb.select(
+                _ivf_cell_col(F.col(vec), pivots).alias("cell"),
+                F.col(vec).alias("v"),
+            )
+            .select("cell", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.sum(F.col("val").cast("double")).alias("s"),
+                 F.count("*").alias("n"))
+            .collect()
+        )
+        for r in stats:
+            cents[int(r["cell"])][int(r["pos"])] = round(
+                r["s"] / r["n"], 6
+            )
+    return sorted(cents.items())
 
 
 def ivf_topk(

@@ -270,6 +270,31 @@ def test_ivf_probes_only_cells(spark, emb):
     assert 1 < n_cells <= 4
 
 
+def test_kmeans_pivots_deterministic_and_improving(spark, emb):
+    """Lloyd's iterations are deterministic and do not worsen the spherical
+    objective (mean max-cosine to the assigned pivot)."""
+    p3a = S.kmeans_pivots(emb, k=4, iters=3)
+    p3b = S.kmeans_pivots(emb, k=4, iters=3)
+    assert p3a == p3b
+    assert [cid for cid, _ in p3a] == [0, 1, 2, 3]
+
+    def objective(pivots):
+        best = None
+        for _cid, pv in pivots:
+            pc = F.array(*[F.lit(float(x)) for x in pv])
+            c = S.cosine_col(F.col("embedding"), pc)
+            best = c if best is None else F.greatest(best, c)
+        return emb.select(F.avg(best).alias("o")).collect()[0]["o"]
+
+    p1 = S.kmeans_pivots(emb, k=4, iters=1)
+    assert objective(p3a) >= objective(p1) - 1e-6
+    # trained pivots drive the IVF plan end-to-end
+    rows = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    q = [float(x) for x in rows[0]]
+    got = [r["vec_id"] for r in S.ivf_topk(emb, p3a, q, k=5, nprobe=2).collect()]
+    assert got[0] == 0 and len(got) == 5
+
+
 def test_lang_id(spark, docs):
     got = {r["docid"]: r["pred_lang"] for r in TS.lang_id(docs).collect()}
     assert got[0] == "en" and got[4] == "de" and got[5] == "es"
@@ -337,6 +362,27 @@ def test_extract_features_unit_norm(spark, media):
         v = np.array(r["embedding"], dtype=np.float64)
         assert v.shape == (16,)
         assert abs(np.linalg.norm(v) - 1.0) < 1e-5
+
+
+def test_media_from_docs_linear_rule(spark):
+    """media_from_docs payloads decode to exactly the linear pixel rule
+    (the property the gate oracle mirrors in SQL)."""
+    import numpy as np
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(20)], "doc_id long, text string"
+    )
+    media = M.media_from_docs(docs)
+    out = {r["media_id"]: r for r in M.decode_images(media).collect()}
+    assert set(out) == {i for i in range(20) if i % 3 == 0}
+    for did, r in out.items():
+        w, h = 4 + did % 13, 3 + did % 7
+        assert (r["width"], r["height"]) == (w, h)
+        idx = np.arange(w * h, dtype=np.int64)
+        exp = float(((did * 31 + idx * 7) % 256).mean())
+        assert r["mean_px"] == np.floor(exp * 1e6) / 1e6
+    kinds = {r["media_id"]: r["kind"] for r in media.collect()}
+    assert all(k == ("image", "audio", "video")[m % 3] for m, k in kinds.items())
 
 
 def test_sample_frames(spark, media):

@@ -184,3 +184,82 @@ def test_resumable_build_drops_stale_chunks(spark, tmp_path):
     assert ta == tb
     for q in ("gentlemen", "prince andrew"):
         assert Q.topk_wand(a, q, k=20) == Q.topk_wand(b, q, k=20)
+
+
+# --- log-structured streaming incremental indexing --------------------------
+
+def _deliver(spark, pages, dst, name, mtime):
+    """Write one delivery as a single parquet file with a pinned mtime so
+    the file stream ingests deliveries in order."""
+    import glob
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp()
+    pages.repartition(1).write.mode("overwrite").parquet(tmp)
+    (part,) = glob.glob(os.path.join(tmp, "*.parquet"))
+    os.makedirs(dst, exist_ok=True)
+    out = os.path.join(dst, name)
+    shutil.copy(part, out)
+    os.utime(out, times=(mtime, mtime))
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_incremental_index(spark, tmp_path):
+    """Three crawl deliveries ingested exactly-once through the log-
+    structured merge tree ≡ one batch build over the union; a later run
+    with the same checkpoint ingests ONLY the new delivery."""
+    from search_engine_spark.streaming.indexing import run_ingest
+
+    pages = (
+        gen_pages_df(spark, 150, partitions=2)
+        .withColumn("rn", F.regexp_extract("url", r"/p/(\d+)\.html", 1).cast("long"))
+        .withColumn("url", F.format_string("%08d", F.col("rn")))
+        .persist()
+    )
+    src = str(tmp_path / "deliveries")
+    for i, (lo, hi) in enumerate([(0, 50), (50, 100), (100, 150)]):
+        _deliver(
+            spark,
+            pages.filter((F.col("rn") >= lo) & (F.col("rn") < hi)).drop("rn"),
+            src, f"delivery{i}.parquet", 1_000_000 + i,
+        )
+
+    work = str(tmp_path / "work")
+    serving = run_ingest(spark, src, work, lang="en", stem=False)
+    idx = Q.load_index(spark, serving)
+
+    ref_dir = str(tmp_path / "ref_idx")
+    build_index(pages.drop("rn").filter("url < '00000150'"), ref_dir,
+                lang="en", stem=False, partitions=4)
+    ref = Q.load_index(spark, ref_dir)
+    assert idx.stats["n_docs"] == ref.stats["n_docs"]
+
+    def by_url(ix, q):
+        scored = Q.topk_distributed(ix, q, k=25)
+        return {
+            (r["url"], round(r["score"], 6))
+            for r in scored.join(ix.docs, "docid").select("url", "score").collect()
+        }
+
+    for q in ["gentlemen", "prince andrew", "historic event"]:
+        assert by_url(idx, q) == by_url(ref, q)
+
+    # exactly-once across runs: drop a 4th delivery, re-run with the same
+    # checkpoint — only the new file is processed, no duplicate docs
+    pages2 = (
+        gen_pages_df(spark, 190, partitions=2)
+        .withColumn("rn", F.regexp_extract("url", r"/p/(\d+)\.html", 1).cast("long"))
+        .filter(F.col("rn") >= 150)
+        .withColumn("url", F.format_string("%08d", F.col("rn")))
+        .drop("rn")
+    )
+    _deliver(spark, pages2, src, "delivery3.parquet", 1_000_003)
+    serving2 = run_ingest(spark, src, work, lang="en", stem=False)
+    idx2 = Q.load_index(spark, serving2)
+    n_en = (
+        spark.read.parquet(src).filter("lang = 'en'").select("url").distinct().count()
+    )
+    assert idx2.stats["n_docs"] == n_en
+    assert idx2.docs.select("docid").distinct().count() == n_en
+    pages.unpersist()
