@@ -62,8 +62,18 @@ def main() -> None:
     spark = get_spark(app_name="bench", cores=cpus, shuffle_partitions=cpus)
     qs = E.queries()
 
-    # warm the JVM/session with one tiny job (excluded from timings)
+    # Warm-up (excluded from timings): run every bench query once at the
+    # tiny sf so JVM/codegen/shuffle machinery and the Python worker pool
+    # are steady-state before measurement — per-query numbers then reflect
+    # execution cost, not first-call compilation.
     spark.range(1000).count()
+    warm_sf = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_sf) and warm_sf != sf_dir:
+        for name in BENCH_QUERIES:
+            try:
+                qs[name](spark, warm_sf).count()
+            except Exception:
+                pass
 
     per_query: dict[str, float] = {}
     total = 0.0

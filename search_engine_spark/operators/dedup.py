@@ -27,6 +27,7 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from search_engine_spark.functions.hashing import md5_int32, md5_two_hash_cols
 from search_engine_spark.operators.text_ops import tokens_col
+from search_engine_spark.session import widen_small_input
 
 DEFAULT_SHINGLE = 3
 DEFAULT_NUM_HASHES = 8
@@ -64,11 +65,9 @@ def exact_dedup(df: DataFrame, docid: str = "doc_id", text: str = "text") -> Dat
 # Shingling
 # ---------------------------------------------------------------------------
 
-def shingles(
-    df: DataFrame, docid: str = "doc_id", text: str = "text", n: int = DEFAULT_SHINGLE
-) -> DataFrame:
-    """(docid, shingle) — DISTINCT word n-gram shingles per doc, built with
-    array built-ins (transform over token-index slices), no Python."""
+def shingle_array_col(text: str | Column, n: int = DEFAULT_SHINGLE) -> Column:
+    """array<string> of DISTINCT word n-gram shingles — a single per-row
+    expression (no explode, no shuffle)."""
     toks = tokens_col(text)
     # Guard: for docs with fewer than n tokens, sequence(0, size-n) would
     # run DOWNWARD (step defaults to -1 when start > stop) and slice() then
@@ -80,9 +79,18 @@ def shingles(
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return (
-        df.select(F.col(docid).alias("docid"), F.explode(sh).alias("shingle"))
-        .distinct()
+    return F.array_distinct(sh)
+
+
+def shingles(
+    df: DataFrame, docid: str = "doc_id", text: str = "text", n: int = DEFAULT_SHINGLE
+) -> DataFrame:
+    """(docid, shingle) — DISTINCT word n-gram shingles per doc, built with
+    array built-ins (per-row array_distinct — no distinct shuffle)."""
+    df = widen_small_input(df)
+    return df.select(
+        F.col(docid).alias("docid"),
+        F.explode(shingle_array_col(text, n)).alias("shingle"),
     )
 
 
@@ -127,8 +135,16 @@ def jaccard_pairs(
     # NB: no internal persist — an operator-owned cache can never be
     # unpersisted at the right time; callers batching many thresholds over
     # one corpus should cache shingles() themselves.
+    wdf = widen_small_input(df)
+    # set sizes are a pure per-row expression — no shuffle, and it keeps
+    # the shingle pipeline out of the (otherwise re-executed) agg subtrees
+    sizes = wdf.select(
+        F.col(docid).alias("docid"),
+        F.size(shingle_array_col(text, n)).alias("sz"),
+    )
     sh = shingles(df, docid, text, n)
-    sizes = sh.groupBy("docid").agg(F.count(F.lit(1)).alias("sz"))
+    if not prefix_filter:
+        return _jaccard_inverted(sh, sizes, threshold)
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("fdf"))
     nonsingle = sh.join(freq.filter(F.col("fdf") > 1), "shingle")
     if prefix_filter:
@@ -164,16 +180,6 @@ def jaccard_pairs(
             .groupBy("a", "b")
             .agg(F.count(F.lit(1)).alias("inter"))
         )
-    else:
-        # low threshold: count intersections directly off the self-join
-        left = nonsingle.select(F.col("docid").alias("a"), "shingle")
-        right = nonsingle.select(F.col("docid").alias("b"), "shingle")
-        inter = (
-            left.join(right, "shingle")
-            .filter(F.col("a") < F.col("b"))
-            .groupBy("a", "b")
-            .agg(F.count(F.lit(1)).alias("inter"))
-        )
     out = (
         inter.join(sizes.select(F.col("docid").alias("a"), F.col("sz").alias("sza")), "a")
         .join(sizes.select(F.col("docid").alias("b"), F.col("sz").alias("szb")), "b")
@@ -189,6 +195,75 @@ def jaccard_pairs(
         .select("a", "b", "jaccard")
     )
     return out
+
+
+# A shingle shared by m docs yields m(m-1)/2 pairs; above this cut the
+# pairs are generated by a distributed self-join (rows spread across
+# tasks) instead of exploding m² structs inside one task's array row.
+HOT_SHINGLE_CUT = 512
+
+
+def _jaccard_inverted(
+    sh: DataFrame, sizes: DataFrame, threshold: float
+) -> DataFrame:
+    """Low-threshold exact Jaccard: ONE inverted-index aggregation
+    (groupBy shingle → sorted posting array), then candidate pairs are
+    generated MAP-SIDE from each posting array (nested transform —
+    no row self-join, no shuffle of per-occurrence rows). Shingles with
+    posting lists longer than HOT_SHINGLE_CUT take the classic self-join
+    path so one task never explodes the m² head of a stop-shingle."""
+    inv = (
+        sh.groupBy("shingle")
+        .agg(F.array_sort(F.collect_list("docid")).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    cold = inv.filter(F.size("ds") <= HOT_SHINGLE_CUT)
+    ds = F.col("ds")
+    pair_arr = F.flatten(
+        F.transform(
+            ds,
+            lambda x, i: F.transform(
+                F.slice(ds, i + 2, F.size(ds)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    cold_pairs = cold.select(F.explode(pair_arr).alias("p")).select(
+        F.col("p.a").alias("a"), F.col("p.b").alias("b")
+    )
+    hot = inv.filter(F.size("ds") > HOT_SHINGLE_CUT).select(
+        "shingle", F.explode(ds).alias("docid")
+    )
+    hot_pairs = (
+        hot.select("shingle", F.col("docid").alias("a"))
+        .join(hot.select("shingle", F.col("docid").alias("b")), "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+    )
+    inter = (
+        cold_pairs.unionByName(hot_pairs)
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("docid").alias("a"), F.col("sz").alias("sza")),
+            "a",
+        )
+        .join(
+            sizes.select(F.col("docid").alias("b"), F.col("sz").alias("szb")),
+            "b",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -306,6 +381,7 @@ def simhash(
     Plan: explode tokens → per-(doc,term) tf → term hash (md5 32-bit) →
     explode bit index 0..31 → signed tf sum per (doc, bit) → bit j set iff
     sum > 0 → simhash = Σ 2^j. All built-ins; two keyed shuffles."""
+    df = widen_small_input(df)
     tf = (
         df.select(F.col(docid).alias("docid"), F.explode(tokens_col(text)).alias("term"))
         .groupBy("docid", "term")

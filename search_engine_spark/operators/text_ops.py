@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 from search_engine_spark.oracle.bm25 import B, K1
 from search_engine_spark.oracle.text import STOPWORDS, simple_tokens
+from search_engine_spark.session import widen_small_input
 
 TOKEN_SEP_RE = "[^a-z0-9]+"
 SCORE_DECIMALS = 6
@@ -42,6 +43,7 @@ def exploded_terms(
     df: DataFrame, docid: str = "doc_id", text: str = "text"
 ) -> DataFrame:
     """(docid, pos, term) — one row per token occurrence, 1-based positions."""
+    df = widen_small_input(df)
     return df.select(
         F.col(docid).alias("docid"),
         F.posexplode(tokens_col(text)).alias("pos0", "term"),
@@ -130,7 +132,7 @@ def bm25_topk(
     # so the per-term filters reference the alias. CollapseProject keeps the
     # two Projects separate (the alias is non-cheap and multiply referenced)
     # — without this, each tf column re-evaluates the regex split.
-    toks_once = docs.select(
+    toks_once = widen_small_input(docs).select(
         F.col(docid).alias("docid"), tokens_col(text).alias("_toks")
     )
     arr = F.col("_toks")

@@ -50,3 +50,21 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def widen_small_input(df, min_ratio: int = 2):
+    """Parallelize tiny scans before expression-heavy pipelines.
+
+    A small table often arrives as ONE file → ONE task (splits are
+    file/row-group granular), serializing everything downstream —
+    tokenize/shingle expressions then run 1-core regardless of cluster
+    size. When the scan has fewer than cores/min_ratio partitions,
+    round-robin repartition to default parallelism; at real scale the
+    input has splits >> cores and this is a no-op (no shuffle inserted).
+    Only order-insensitive consumers (keyed aggregations) may rely on it.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() * min_ratio < target:
+        return df.repartition(target)
+    return df
