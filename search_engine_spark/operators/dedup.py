@@ -68,7 +68,10 @@ def exact_dedup(df: DataFrame, docid: str = "doc_id", text: str = "text") -> Dat
 def shingle_array_col(text: str | Column, n: int = DEFAULT_SHINGLE) -> Column:
     """array<string> of DISTINCT word n-gram shingles — a single per-row
     expression (no explode, no shuffle)."""
-    toks = tokens_col(text)
+    return _shingles_from_tokens(tokens_col(text), n)
+
+
+def _shingles_from_tokens(toks: Column, n: int) -> Column:
     # Guard: for docs with fewer than n tokens, sequence(0, size-n) would
     # run DOWNWARD (step defaults to -1 when start > stop) and slice() then
     # crashes on index 0 — short/empty docs must yield no shingles instead.
@@ -86,11 +89,18 @@ def shingles(
     df: DataFrame, docid: str = "doc_id", text: str = "text", n: int = DEFAULT_SHINGLE
 ) -> DataFrame:
     """(docid, shingle) — DISTINCT word n-gram shingles per doc, built with
-    array built-ins (per-row array_distinct — no distinct shuffle)."""
+    array built-ins (per-row array_distinct — no distinct shuffle).
+
+    The token array binds in its own Project (multiply-referenced,
+    non-cheap → CollapseProject keeps it) so the regex tokenizer runs once
+    per row, not once per reference inside the shingle expression."""
     df = widen_small_input(df)
-    return df.select(
-        F.col(docid).alias("docid"),
-        F.explode(shingle_array_col(text, n)).alias("shingle"),
+    t = df.select(
+        F.col(docid).alias("docid"), tokens_col(text).alias("_toks")
+    )
+    return t.select(
+        "docid",
+        F.explode(_shingles_from_tokens(F.col("_toks"), n)).alias("shingle"),
     )
 
 
