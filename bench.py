@@ -31,6 +31,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BENCH_QUERIES = [
     "bm25_multi",
     "bm25_index_all",
+    "bm25_batch",
     "topk_urls",
     "term_frequencies",
     "document_frequencies",
