@@ -93,6 +93,39 @@ def parse_query(query: str, stem: bool = True) -> list[str]:
 # Distributed exact top-k
 # ---------------------------------------------------------------------------
 
+def _decode_rows_idf(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """(block, idf) batches → (docid, tf, dl, idf) posting rows."""
+    for pdf in batches:
+        d_l, t_l, l_l, i_l = [], [], [], []
+        for blob, idf in zip(pdf["block"], pdf["idf"]):
+            d, t, dl = decode_block_np(bytes(blob))
+            d_l.append(d)
+            t_l.append(t)
+            l_l.append(dl)
+            i_l.append(np.full(len(d), float(idf)))
+        if not d_l:
+            continue
+        yield pd.DataFrame(
+            {"docid": np.concatenate(d_l),
+             "tf": np.concatenate(t_l),
+             "dl": np.concatenate(l_l),
+             "idf": np.concatenate(i_l)}
+        )
+
+
+def _bm25_part_col(avgdl: float):
+    return (
+        F.col("idf") * F.col("tf") * F.lit(K1 + 1.0)
+        / (
+            F.col("tf")
+            + F.lit(K1)
+            * (F.lit(1.0 - B) + F.lit(B) * F.col("dl") / F.lit(avgdl))
+        )
+    )
+
+
 def topk_distributed(index: Index, query: str, k: int = 100) -> DataFrame:
     """(docid, score) top-k as a Spark plan. The term filter is pushed into
     the parquet scan (term-sorted layout → row-group pruning)."""
@@ -100,7 +133,6 @@ def topk_distributed(index: Index, query: str, k: int = 100) -> DataFrame:
     spark = index.spark
     if not terms:
         return spark.createDataFrame([], "docid long, score double")
-    n_docs = index.stats["n_docs"]
     avgdl = index.stats["avgdl"]
 
     blocks = index.postings.filter(F.col("term").isin(terms))
@@ -112,38 +144,79 @@ def topk_distributed(index: Index, query: str, k: int = 100) -> DataFrame:
     # per doc. dl is colocated in the block (codec v3), so the query plan
     # needs NO join against the docs table — at 10^12 docs that join was a
     # postings-sized shuffle; now the only shuffle is the final groupBy.
-    def decode_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            d_l, t_l, l_l, i_l = [], [], [], []
-            for blob, idf in zip(pdf["block"], pdf["idf"]):
-                d, t, dl = decode_block_np(bytes(blob))
-                d_l.append(d)
-                t_l.append(t)
-                l_l.append(dl)
-                i_l.append(np.full(len(d), float(idf)))
-            if not d_l:
-                continue
-            yield pd.DataFrame(
-                {"docid": np.concatenate(d_l),
-                 "tf": np.concatenate(t_l),
-                 "dl": np.concatenate(l_l),
-                 "idf": np.concatenate(i_l)}
-            )
-
     decoded = withidf.select("block", "idf").mapInPandas(
-        decode_rows, schema="docid long, tf long, dl long, idf double"
+        _decode_rows_idf, schema="docid long, tf long, dl long, idf double"
     )
     scored = (
-        decoded
-        .withColumn(
-            "part",
-            F.col("idf") * F.col("tf") * F.lit(K1 + 1.0)
-            / (
-                F.col("tf")
-                + F.lit(K1)
-                * (F.lit(1.0 - B) + F.lit(B) * F.col("dl") / F.lit(avgdl))
-            ),
+        decoded.withColumn("part", _bm25_part_col(avgdl))
+        .groupBy("docid")
+        .agg(F.sum("part").alias("score"))
+    )
+    return scored.orderBy(F.col("score").desc(), F.col("docid").asc()).limit(k)
+
+
+def topk_over_segments(
+    spark: SparkSession, seg_dirs: list[str], query: str, k: int = 100
+) -> DataFrame:
+    """Search a log-structured LEVEL SET without collapsing it — the
+    mid-stream query path for the incremental indexer
+    (streaming/indexing.py): each segment stays as-built; only global
+    statistics are recomputed.
+
+    ``seg_dirs`` are ordered oldest → newest (docid offsets accumulate in
+    that order, matching what a collapse via merge_indexes would assign).
+    Global n_docs/avgdl come from segment stats; global per-term df is the
+    sum over the segments' terms tables (pruned, tiny scans) → global idf
+    driver-side. Each segment's pruned postings decode with the GLOBAL
+    idf/avgdl and docids shift by the segment offset; one union + one
+    groupBy scores everything. Result is identical to querying the
+    collapsed index (tested to 1e-9)."""
+    from search_engine_spark.oracle.bm25 import bm25_idf
+
+    idxs = [load_index(spark, d) for d in seg_dirs]
+    if not idxs:
+        return spark.createDataFrame([], "docid long, score double")
+    terms = parse_query(query, stem=idxs[0].stats.get("stem", True))
+    if not terms:
+        return spark.createDataFrame([], "docid long, score double")
+    n_docs = sum(ix.stats["n_docs"] for ix in idxs)
+    avgdl = (
+        sum(ix.stats["avgdl"] * ix.stats["n_docs"] for ix in idxs) / n_docs
+        if n_docs
+        else 0.0
+    )
+    df_global: dict[str, int] = {}
+    for ix in idxs:
+        for r in (
+            ix.terms.filter(F.col("term").isin(terms))
+            .select("term", "df")
+            .collect()
+        ):
+            df_global[r["term"]] = df_global.get(r["term"], 0) + int(r["df"])
+    if not df_global:
+        return spark.createDataFrame([], "docid long, score double")
+    idf_rows = [(t, bm25_idf(n_docs, d)) for t, d in sorted(df_global.items())]
+    tstats = F.broadcast(
+        spark.createDataFrame(idf_rows, "term string, idf double")
+    )
+    offset = 0
+    parts = []
+    for ix in idxs:
+        blocks = ix.postings.filter(
+            F.col("term").isin(list(df_global))
+        ).join(tstats, "term")
+        decoded = blocks.select("block", "idf").mapInPandas(
+            _decode_rows_idf, schema="docid long, tf long, dl long, idf double"
         )
+        parts.append(
+            decoded.withColumn("docid", F.col("docid") + F.lit(offset))
+        )
+        offset += ix.stats["n_docs"]
+    union = parts[0]
+    for p in parts[1:]:
+        union = union.unionByName(p)
+    scored = (
+        union.withColumn("part", _bm25_part_col(avgdl))
         .groupBy("docid")
         .agg(F.sum("part").alias("score"))
     )

@@ -20,9 +20,10 @@ searchable without rebuilding the world. This module adds that surface:
 
 ``run_ingest(availableNow)`` drains all pending files then collapses the
 remaining levels into one serving index and atomically updates the
-``SERVING`` pointer. Production note: mid-stream reads would treat the
-level set as segments (one query plan over unioned postings tables);
-sandbox queries run on the collapsed index.
+``SERVING`` pointer. Mid-stream, the level set is DIRECTLY searchable
+without collapsing: ``level_segments(work_dir)`` →
+``operators.query.topk_over_segments`` recomputes global stats over the
+segments and returns results identical to the merged index (tested).
 """
 
 from __future__ import annotations
@@ -145,6 +146,18 @@ def run_ingest(
         fh.write(acc)
     os.replace(tmp, os.path.join(work_dir, "SERVING"))
     return acc
+
+
+def level_segments(work_dir: str) -> list[str]:
+    """The current level set as segment dirs, oldest → newest (highest
+    level holds the oldest docs). Feed to
+    ``operators.query.topk_over_segments`` to search the tree MID-STREAM
+    without collapsing it."""
+    state = _load_state(work_dir)
+    return [
+        state["levels"][str(lv)]
+        for lv in sorted((int(k) for k in state["levels"]), reverse=True)
+    ]
 
 
 def _read_pointer(work_dir: str) -> str | None:

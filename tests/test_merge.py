@@ -82,3 +82,20 @@ def test_merged_phrases_match_union(spark, dirs):
     u = Q.load_index(spark, dirs["u"])
     for ph in ("prince andrew", "bloodthirsty soldier"):
         assert Q.phrase_docs(m, ph) == Q.phrase_docs(u, ph)
+
+
+def test_segment_query_matches_merged(spark, dirs):
+    """topk_over_segments searches the un-collapsed segment set with
+    recomputed global stats — identical result to the merged index."""
+    for q in ["gentlemen", "prince andrew", "historic event"]:
+        got = [
+            (r["docid"], r["score"])
+            for r in Q.topk_over_segments(spark, [dirs["a"], dirs["b"]], q, k=30).collect()
+        ]
+        want = [
+            (r["docid"], r["score"])
+            for r in Q.topk_distributed(Q.load_index(spark, dirs["m"]), q, k=30).collect()
+        ]
+        assert [d for d, _ in got] == [d for d, _ in want]
+        for (gd, gs), (wd, ws) in zip(got, want):
+            assert gs == pytest.approx(ws, abs=1e-9)
