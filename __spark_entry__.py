@@ -83,6 +83,36 @@ def _cached_index(
     return IQ.load_index(spark, out)
 
 
+def _cached_segments(spark: SparkSession, sf_dir: str) -> list[str]:
+    """Two segment indexes over a doc_id split of the documents table —
+    the un-collapsed level-set shape the streaming indexer maintains.
+    Lexical url order == doc_id order, so segment docid offsets reproduce
+    the global docid = doc_id mapping the oracle scores against."""
+    key = hashlib.md5(f"{sf_dir}:seg".encode()).hexdigest()[:10]
+    base = os.path.join(
+        tempfile.gettempdir(), f"se_spark_seg_v{INDEX_FORMAT}_{key}"
+    )
+    dirs = [os.path.join(base, "a"), os.path.join(base, "b")]
+    if not all(os.path.exists(os.path.join(d, "stats.json")) for d in dirs):
+        src = _t(spark, sf_dir, "documents")
+        half = src.count() // 2
+        docs = src.select(
+            F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("url"),
+            F.col("text"),
+            F.lit("en").alias("lang"),
+            F.col("doc_id"),
+        )
+        build_index(
+            docs.filter(F.col("doc_id") < half).drop("doc_id"),
+            dirs[0], lang="en", stem=False, cap=None,
+        )
+        build_index(
+            docs.filter(F.col("doc_id") >= half).drop("doc_id"),
+            dirs[1], lang="en", stem=False, cap=None,
+        )
+    return dirs
+
+
 # ---------------------------------------------------------------------------
 # Spark-side query callables
 # ---------------------------------------------------------------------------
@@ -497,6 +527,17 @@ def q_extract_digits(spark, sf_dir):
     )
 
 
+def q_segments_topk(spark, sf_dir):
+    """Mid-stream segment search: BM25 over an UN-collapsed two-segment
+    level set (streaming/indexing.py shape) — global stats recomputed from
+    segment tables; identical-by-construction to global BM25, which is
+    exactly what the oracle SQL computes."""
+    segs = _cached_segments(spark, sf_dir)
+    return IQ.topk_over_segments(spark, segs, "spark table join", k=20).select(
+        "docid", F.round("score", 6).alias("score")
+    )
+
+
 # --- multimodal (binary media columns; deterministic FIMG payloads) ---------
 
 def q_media_decode(spark, sf_dir):
@@ -576,6 +617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_rare": q_bm25_rare,
         "bm25_index_all": q_bm25_index_all,
         "bm25_batch": q_bm25_batch,
+        "segments_topk": q_segments_topk,
         "topk_urls": q_topk_urls,
         "stemmed_topk": q_stemmed_topk,
         "top_terms": q_top_terms,
@@ -889,6 +931,9 @@ FROM d, n
     sqls["bm25_single"] = T.bm25_topk_sql_oracle("window", k=20)
     sqls["bm25_rare"] = T.bm25_topk_sql_oracle("customer stream vector", k=15)
     sqls["bm25_index_all"] = T.bm25_topk_sql_oracle("spark table join", k=10_000)
+    # segment search ≡ global BM25 by construction (global stats recomputed
+    # over the level set) — the oracle is the plain global-BM25 mirror
+    sqls["segments_topk"] = T.bm25_topk_sql_oracle("spark table join", k=20)
 
     batch_parts = []
     for qid, q in BATCH_QUERIES.items():
