@@ -131,6 +131,22 @@ def test_jaccard_prefix_equals_direct(spark, docs):
         assert pref == direct
 
 
+def test_jaccard_hot_shingle_fallback(spark, docs, monkeypatch):
+    """Posting lists above HOT_SHINGLE_CUT route through the distributed
+    self-join; forcing the cut to 1 sends EVERY shingle down the hot path
+    and must not change results (the skew-split is lossless)."""
+    want = {
+        (r["a"], r["b"], r["jaccard"])
+        for r in D.jaccard_pairs(docs, 0.1, prefix_filter=False).collect()
+    }
+    monkeypatch.setattr(D, "HOT_SHINGLE_CUT", 1)
+    got = {
+        (r["a"], r["b"], r["jaccard"])
+        for r in D.jaccard_pairs(docs, 0.1, prefix_filter=False).collect()
+    }
+    assert got == want and len(want) >= 2
+
+
 def test_lsh_finds_dup_pairs(spark, docs):
     out = {(r["a"], r["b"]) for r in D.minhash_dedup_pairs(docs, 0.5).collect()}
     assert (0, 3) in out
@@ -394,3 +410,14 @@ def test_sample_frames(spark, media):
     assert set(by_m) == set(vids)
     for mid, idxs in by_m.items():
         assert idxs == list(range(0, vids[mid], 8))
+
+
+def test_widen_small_input_noop_on_wide_input(spark):
+    """widen_small_input must NOT insert a shuffle when the scan already
+    has enough splits (the real-scale case)."""
+    from search_engine_spark.session import widen_small_input
+
+    df = spark.range(0, 1000, numPartitions=64)
+    assert widen_small_input(df) is df
+    narrow = spark.range(0, 1000, numPartitions=1)
+    assert widen_small_input(narrow) is not narrow
