@@ -3,6 +3,10 @@
     spark-submit --py-files se_spark.zip jobs/query_job.py \
         --index <index dir> --queries "prince andrew" "historic event" [-k 100]
 
+    # mid-stream: search a live streaming merge tree WITHOUT collapsing
+    spark-submit --py-files se_spark.zip jobs/query_job.py \
+        --segments <ingest work dir> --queries "prince andrew" [-k 100]
+
 Prints one JSON line per query: {"query": ..., "topk": [[docid, score], ...]}.
 Uses the driver-side Block-Max WAND (exact) — for bulk query sets the
 distributed plan (operators/query.topk_distributed) amortizes better.
@@ -20,7 +24,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--index", required=True)
+    ap.add_argument("--index")
+    ap.add_argument("--segments",
+                    help="streaming ingest work dir: query the live level "
+                         "set without collapsing")
     ap.add_argument("--queries", nargs="+", required=True)
     ap.add_argument("-k", type=int, default=100)
     ap.add_argument("--distributed", action="store_true")
@@ -37,6 +44,21 @@ def main() -> None:
         spark = SparkSession.builder.appName("query").getOrCreate()
 
     from search_engine_spark.operators import query as Q
+
+    if bool(args.index) == bool(args.segments):
+        ap.error("exactly one of --index / --segments is required")
+
+    if args.segments:
+        from search_engine_spark.streaming.indexing import level_segments
+
+        segs = level_segments(args.segments)
+        for q in args.queries:
+            rows = Q.topk_over_segments(spark, segs, q, k=args.k).collect()
+            print(json.dumps({
+                "query": q, "segments": len(segs),
+                "topk": [[r["docid"], r["score"]] for r in rows],
+            }))
+        return
 
     idx = Q.load_index(spark, args.index)
     for q in args.queries:
