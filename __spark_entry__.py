@@ -527,6 +527,23 @@ def q_extract_digits(spark, sf_dir):
     )
 
 
+def q_asof_join(spark, sf_dir):
+    """As-of join: each purchase matched to the user's most recent
+    at-or-before view (point-in-time semantics; DuckDB mirrors with its
+    native ASOF LEFT JOIN)."""
+    from search_engine_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = asof_join(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "view"),
+        on="ts", by="user_id", value_cols=("event_id", "value"),
+    )
+    return out.select("event_id", "user_id", "r_event_id", "r_value")
+
+
 def q_segments_topk(spark, sf_dir):
     """Mid-stream segment search: BM25 over an UN-collapsed two-segment
     level set (streaming/indexing.py shape) — global stats recomputed from
@@ -643,6 +660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "events_json": q_events_json,
         "sessionize": q_sessionize,
+        "asof_join": q_asof_join,
         # dedup / similarity / text analysis
         "dedup_exact": q_dedup_exact,
         "jaccard_pairs": q_jaccard_pairs,
@@ -1121,6 +1139,21 @@ sess AS (
 SELECT user_id, session_id, count(*) AS n_events,
        min(ts) AS start_ts, max(ts) AS end_ts
 FROM sess GROUP BY user_id, session_id
+"""
+
+    # ASOF LEFT JOIN is native in DuckDB; the right side is deduplicated
+    # to max event_id per (user, ts) to pin the same tie-break the Spark
+    # operator applies (greatest tiebreak among equal timestamps)
+    sqls["asof_join"] = """
+WITH l AS (SELECT * FROM events WHERE event_type = 'purchase'),
+r AS (
+  SELECT * FROM (SELECT * FROM events WHERE event_type = 'view')
+  QUALIFY row_number() OVER (PARTITION BY user_id, ts
+                             ORDER BY event_id DESC) = 1
+)
+SELECT l.event_id, l.user_id, r.event_id AS r_event_id,
+       r.value AS r_value
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
 """
 
     sqls["dedup_exact"] = """

@@ -421,3 +421,29 @@ def test_widen_small_input_noop_on_wide_input(spark):
     assert widen_small_input(df) is df
     narrow = spark.range(0, 1000, numPartitions=1)
     assert widen_small_input(narrow) is not narrow
+
+
+def test_asof_join_semantics(spark):
+    """<= inclusivity, no-prior-match nulls, and greatest-tiebreak on
+    timestamp ties."""
+    from search_engine_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, 100), (2, 10, 200), (3, 10, 50), (4, 99, 150)],
+        "event_id long, user_id long, ts long",
+    )
+    right = spark.createDataFrame(
+        [(101, 10, 100, 1.0),   # ties left event 1 exactly → inclusive
+         (102, 10, 100, 2.0),   # same instant, higher id → wins tie
+         (103, 10, 150, 3.0),
+         (104, 77, 1, 9.9)],    # other user
+        "event_id long, user_id long, ts long, value double",
+    )
+    out = {
+        r["event_id"]: (r["r_event_id"], r["r_value"])
+        for r in asof_join(left, right, on="ts", by="user_id").collect()
+    }
+    assert out[1] == (102, 2.0)      # <= match at the same instant, max id
+    assert out[2] == (103, 3.0)      # latest at-or-before 200
+    assert out[3] == (None, None)    # nothing at-or-before 50
+    assert out[4] == (None, None)    # user with no right rows
