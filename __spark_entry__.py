@@ -544,6 +544,25 @@ def q_asof_join(spark, sf_dir):
     return out.select("event_id", "user_id", "r_event_id", "r_value")
 
 
+def q_range_join(spark, sf_dir):
+    """Interval-containment join (bucketed equi-join plan): every error
+    event matched to the session interval that contains it."""
+    from search_engine_spark.operators.asof import range_join
+
+    sessions = q_sessionize(spark, sf_dir)
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    out = range_join(
+        errors, sessions, on="ts", start="start_ts", end="end_ts",
+        by="user_id", bucket_seconds=3600, value_cols=("session_id",),
+    )
+    return out.select("event_id", "user_id", "r_session_id")
+
+
 def q_segments_topk(spark, sf_dir):
     """Mid-stream segment search: BM25 over an UN-collapsed two-segment
     level set (streaming/indexing.py shape) — global stats recomputed from
@@ -661,6 +680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json": q_events_json,
         "sessionize": q_sessionize,
         "asof_join": q_asof_join,
+        "range_join": q_range_join,
         # dedup / similarity / text analysis
         "dedup_exact": q_dedup_exact,
         "jaccard_pairs": q_jaccard_pairs,
@@ -1154,6 +1174,32 @@ r AS (
 SELECT l.event_id, l.user_id, r.event_id AS r_event_id,
        r.value AS r_value
 FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+    # the oracle states containment as a plain inequality join — the Spark
+    # side's bucketed equi-join must produce the identical relation
+    sqls["range_join"] = """
+WITH lagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch(ts) - coalesce(epoch(lag(ts) OVER w), 0) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+         (sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING))::BIGINT AS session_id
+  FROM lagged
+),
+intervals AS (
+  SELECT user_id, session_id, min(ts) AS start_ts, max(ts) AS end_ts
+  FROM sess GROUP BY user_id, session_id
+)
+SELECT e.event_id, e.user_id, i.session_id AS r_session_id
+FROM events e JOIN intervals i
+  ON e.user_id = i.user_id AND e.ts >= i.start_ts AND e.ts <= i.end_ts
+WHERE e.event_type = 'error'
 """
 
     sqls["dedup_exact"] = """

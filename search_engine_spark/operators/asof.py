@@ -79,3 +79,55 @@ def asof_join(
         *[F.col(f"_l.{c}").alias(c) for c in left.columns],
         *[F.col(f"_m.{c}").alias(prefix + c) for c in value_cols],
     )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    start: str = "start_ts",
+    end: str = "end_ts",
+    by: str = "user_id",
+    bucket_seconds: int = 3600,
+    value_cols: tuple[str, ...] = ("session_id",),
+    prefix: str = "r_",
+) -> DataFrame:
+    """Interval-containment join: left rows matched to every right
+    interval with ``start <= on <= end`` on the same ``by`` key.
+
+    Spark plans a bare inequality join as a broadcast-nested-loop (or
+    cartesian) — quadratic at scale. This operator makes it an EQUI-join:
+    time is chunked into ``bucket_seconds`` buckets, each interval
+    explodes to the buckets it covers, each left row maps to its single
+    bucket, and the join runs hash-partitioned on (by, bucket) with the
+    exact containment predicate as a post-filter. Cost ∝ rows +
+    interval-length/bucket (choose the bucket near the typical interval
+    length); a (left, interval) pair meets in exactly one bucket — the
+    left row's own — so no dedup pass is needed."""
+    b = F.lit(bucket_seconds)
+
+    def secs(df: DataFrame, col: str):
+        # timestamps can't cast straight to long (Spark 4); numerics can
+        dt = dict(df.dtypes)[col]
+        c = F.col(col)
+        return F.unix_timestamp(c) if dt.startswith("timestamp") else c.cast("long")
+
+    lb = left.withColumn("_b", F.floor(secs(left, on) / b))
+    rb = right.select(
+        F.col(by).alias("_rby"),
+        F.col(start).alias("_start"),
+        F.col(end).alias("_end"),
+        F.floor(secs(right, start) / b).alias("_b0"),
+        F.floor(secs(right, end) / b).alias("_b1"),
+        *[F.col(c).alias(prefix + c) for c in value_cols],
+    ).withColumn(
+        "_b", F.explode(F.sequence(F.col("_b0"), F.col("_b1")))
+    ).drop("_b0", "_b1")
+    cond = (lb[by] == rb["_rby"]) & (lb["_b"] == rb["_b"])
+    return (
+        lb.join(rb, cond)
+        .filter(
+            (F.col(on) >= F.col("_start")) & (F.col(on) <= F.col("_end"))
+        )
+        .select(*left.columns, *[prefix + c for c in value_cols])
+    )

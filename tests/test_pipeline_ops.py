@@ -447,3 +447,30 @@ def test_asof_join_semantics(spark):
     assert out[2] == (103, 3.0)      # latest at-or-before 200
     assert out[3] == (None, None)    # nothing at-or-before 50
     assert out[4] == (None, None)    # user with no right rows
+
+
+def test_range_join_semantics(spark):
+    """Containment matches across bucket boundaries, multi-interval
+    overlap fan-out, and inclusive endpoints."""
+    from search_engine_spark.operators.asof import range_join
+
+    left = spark.createDataFrame(
+        [(1, 10, 100), (2, 10, 7200), (3, 10, 50_000), (4, 20, 100)],
+        "event_id long, user_id long, ts long",
+    )
+    right = spark.createDataFrame(
+        # (sid, user, start, end): B spans many buckets; A/B overlap at 7200
+        [(900, 10, 0, 7200), (901, 10, 7200, 40_000), (902, 20, 90, 110)],
+        "session_id long, user_id long, start_ts long, end_ts long",
+    )
+    out = {}
+    rows = range_join(
+        left, right, on="ts", start="start_ts", end="end_ts",
+        by="user_id", bucket_seconds=3600,
+    ).collect()
+    for r in rows:
+        out.setdefault(r["event_id"], set()).add(r["r_session_id"])
+    assert out[1] == {900}
+    assert out[2] == {900, 901}      # inclusive both ends → both intervals
+    assert 3 not in out              # 50k outside every interval
+    assert out[4] == {902}
