@@ -517,6 +517,11 @@ def q_cosine_near_pairs(spark, sf_dir):
     return S.cosine_near_pairs(_t(spark, sf_dir, "embeddings"), 0.44)
 
 
+def q_len_quantiles(spark, sf_dir):
+    """Per-lang exact doc-length quantiles (corpus profiling)."""
+    return TS.length_quantiles(_docs(spark, sf_dir))
+
+
 def q_extract_digits(spark, sf_dir):
     """T8 pattern-token extraction (zip-code machinery) over customer names."""
     c = _t(spark, sf_dir, "customer").select(
@@ -695,6 +700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "fingerprint": q_fingerprint,
         "bpe_tokens": q_bpe_tokens,
+        "len_quantiles": q_len_quantiles,
         "cosine_near_pairs": q_cosine_near_pairs,
         "extract_digits": q_extract_digits,
         # multimodal (binary media columns, deterministic FIMG payloads)
@@ -1320,6 +1326,14 @@ WITH toks AS (
 SELECT DISTINCT docid, t.digits
 FROM toks, unnest(toks.toks) AS t(digits)
 WHERE regexp_full_match(t.digits, '[0-9]+')
+"""
+
+    sqls["len_quantiles"] = """
+SELECT lang, round(quantile_cont(n_chars, 0.5), 6) AS p50,
+       round(quantile_cont(n_chars, 0.9), 6) AS p90,
+       round(quantile_cont(n_chars, 0.99), 6) AS p99,
+       count(*) AS n
+FROM documents GROUP BY lang
 """
 
     # multimodal: payloads are pure functions of doc_id (linear pixel rule

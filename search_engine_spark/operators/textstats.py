@@ -218,3 +218,24 @@ def autocomplete(
         .orderBy(F.col(df_col).desc(), F.col(term).asc())
         .limit(k)
     )
+
+
+def length_quantiles(
+    df: DataFrame,
+    group: str = "lang",
+    col: str = "n_chars",
+    probs: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Per-group EXACT continuous quantiles of a numeric column (corpus
+    length profiling — the distribution check every training-data
+    pipeline runs before filtering). Spark's ``percentile`` is the exact
+    interpolating aggregate (sort-based within group); at 100 TB swap to
+    ``percentile_approx`` when a bounded-memory sketch is acceptable —
+    same call shape, documented tolerance."""
+    aggs = [
+        F.round(F.expr(f"percentile({col}, {p})"), 6).alias(
+            f"p{str(p)[2:].ljust(2, '0')}"
+        )
+        for p in probs
+    ]
+    return df.groupBy(group).agg(*aggs, F.count(F.lit(1)).alias("n"))
