@@ -9,7 +9,8 @@ Env:
   SPARK_GRAFT_SF_DIR  parquet dir (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS    cores for local[N] (default 32)
   BENCH_INDEX_DOCS    synthetic corpus size for the build-throughput leg
-                      (default 20000)
+                      (default 60000 — a ~45 s leg; at 20k the measure is
+                      stage-barrier/startup-dominated and noisy)
 
 The build-throughput leg measures the engine's own pipeline (corpus
 generation excluded from the timed region; steady-state, session startup
@@ -54,7 +55,7 @@ BENCH_QUERIES = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_index_docs = int(os.environ.get("BENCH_INDEX_DOCS", "20000"))
+    n_index_docs = int(os.environ.get("BENCH_INDEX_DOCS", "60000"))
 
     from search_engine_spark.session import get_spark
 
