@@ -85,3 +85,55 @@ class Warehouse:
         if self._iceberg:
             return self.spark.read.table(self._ident(name))
         return self.spark.read.parquet(os.path.join(self.root, name))
+
+    def compact(
+        self, name: str, sort_cols: list[str], target_mb: int = 256
+    ) -> dict:
+        """Small-file compaction: rewrite table ``name`` into
+        ``ceil(bytes/target_mb)`` range-partitioned files sorted by
+        ``sort_cols`` — the same pruning layout the build writes, fewer
+        files. Streaming ingest and chunked builds fragment tables (each
+        merge level / chunk commit leaves its own small files); at scale
+        that throttles scan planning and object-store reads. Iceberg:
+        this is the ``rewrite_data_files`` action (createOrReplace
+        snapshot). Parquet: staged rewrite + directory swap, so a crashed
+        compaction never leaves a partial table. Returns
+        {files_before, files_after, bytes}."""
+        import math
+        import shutil
+
+        df = self.read(name)
+        if self._iceberg:
+            nbytes = None
+            n_out = max(1, df.rdd.getNumPartitions() // 8)
+        else:
+            path = os.path.join(self.root, name)
+            files = [
+                os.path.join(dp, f)
+                for dp, _dn, fn in os.walk(path)
+                for f in fn
+                if f.endswith(".parquet")
+            ]
+            nbytes = sum(os.path.getsize(f) for f in files)
+            n_out = max(1, math.ceil(nbytes / (target_mb << 20)))
+        before = len(files) if not self._iceberg else None
+        out = df.repartitionByRange(n_out, *sort_cols).sortWithinPartitions(
+            *sort_cols
+        )
+        if self._iceberg:
+            out.writeTo(self._ident(name)).using("iceberg").createOrReplace()
+            return {"files_before": before, "files_after": None,
+                    "bytes": nbytes}
+        tmp = path + ".compacting"
+        out.write.mode("overwrite").parquet(tmp)
+        old = path + ".old"
+        os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old, ignore_errors=True)
+        after = sum(
+            1
+            for dp, _dn, fn in os.walk(path)
+            for f in fn
+            if f.endswith(".parquet")
+        )
+        return {"files_before": before, "files_after": after, "bytes": nbytes}
