@@ -532,6 +532,18 @@ def q_extract_digits(spark, sf_dir):
     )
 
 
+STRATA_FRACTIONS = {"en": 0.3, "de": 1.0, "zh": 0.6}
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Per-stratum hash-Bernoulli downsampling (corpus curation shape:
+    thin the high-resource language, keep the low-resource ones)."""
+    return SMP.stratified_sample(
+        _docs(spark, sf_dir), STRATA_FRACTIONS, seed=11,
+        key="doc_id", strata="lang",
+    ).select("doc_id", "lang", "n_chars")
+
+
 def q_asof_join(spark, sf_dir):
     """As-of join: each purchase matched to the user's most recent
     at-or-before view (point-in-time semantics; DuckDB mirrors with its
@@ -677,6 +689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "take_ordered": q_take_ordered,
         "sample_mod": q_sample_mod,
         "sample_bernoulli": q_sample_bernoulli,
+        "sample_stratified": q_sample_stratified,
         "union_merge": q_union_merge,
         "intersection": q_intersection,
         "tpch_pricing": q_tpch_pricing,
@@ -1009,6 +1022,11 @@ FROM scored s JOIN documents d ON d.doc_id = s.docid
     sqls["sample_bernoulli"] = f"""
 SELECT doc_id, lang, n_chars FROM documents
 WHERE {SMP.bernoulli_sample_sql(0.25, 7, "doc_id")}
+"""
+
+    sqls["sample_stratified"] = f"""
+SELECT doc_id, lang, n_chars FROM documents
+WHERE {SMP.stratified_sample_sql(STRATA_FRACTIONS, 11, "doc_id", "lang")}
 """
 
     sqls["top_terms"] = f"""

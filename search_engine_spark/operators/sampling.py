@@ -50,3 +50,39 @@ def spark_sample(
 ) -> DataFrame:
     """Native ``df.sample`` (Bernoulli, seeded)."""
     return df.sample(fraction=fraction, seed=seed)
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    seed: int | str,
+    key: str,
+    strata: str,
+) -> DataFrame:
+    """Deterministic per-stratum hash-Bernoulli sample (the downsampling
+    primitive of corpus curation: e.g. keep 10% of English, 100% of
+    low-resource languages). Same engine-portable keep rule as
+    :func:`bernoulli_sample`, with the fraction selected per stratum via a
+    literal CASE — strata absent from ``fractions`` are dropped. Fully
+    mirrorable in SQL (:func:`stratified_sample_sql`); the native
+    ``df.sampleBy`` equivalent is exercised in pytest (partitioning-
+    dependent RNG, statistically verified)."""
+    h = md5_int(F.col(key).cast("string"), seed=seed) % SCALE
+    cond = F.lit(False)
+    for s, frac in sorted(fractions.items()):
+        cond = cond | (
+            (F.col(strata) == s) & (h < int(frac * SCALE))
+        )
+    return df.filter(cond)
+
+
+def stratified_sample_sql(
+    fractions: dict[str, float], seed: int | str, key: str, strata: str
+) -> str:
+    """DuckDB WHERE-clause mirror of :func:`stratified_sample`."""
+    h = f"({md5_int_sql(f'CAST({key} AS VARCHAR)', seed=seed)} % {SCALE})"
+    parts = [
+        f"({strata} = '{s}' AND {h} < {int(frac * SCALE)})"
+        for s, frac in sorted(fractions.items())
+    ]
+    return "(" + " OR ".join(parts) + ")"

@@ -474,3 +474,31 @@ def test_range_join_semantics(spark):
     assert out[2] == {900, 901}      # inclusive both ends → both intervals
     assert 3 not in out              # 50k outside every interval
     assert out[4] == {902}
+
+
+def test_stratified_sample(spark):
+    """Per-stratum fractions honored exactly (deterministic keep rule);
+    native df.sampleBy verified statistically."""
+    from search_engine_spark.functions.hashing import md5_int_py
+    from search_engine_spark.operators import sampling as SMP
+
+    df = spark.createDataFrame(
+        [(i, ("en", "de", "zh", "fr")[i % 4]) for i in range(8000)],
+        "doc_id long, lang string",
+    )
+    frac = {"en": 0.5, "de": 1.0}
+    got = sorted(
+        (r["doc_id"], r["lang"])
+        for r in SMP.stratified_sample(df, frac, 3, "doc_id", "lang").collect()
+    )
+    want = sorted(
+        (i, lang)
+        for i, lang in ((i, ("en", "de", "zh", "fr")[i % 4]) for i in range(8000))
+        if lang in frac
+        and md5_int_py(str(i), seed=3) % SMP.SCALE < frac[lang] * SMP.SCALE
+    )
+    assert got == want
+    assert {l for _, l in got} == {"en", "de"}  # zh/fr dropped entirely
+    s = df.sampleBy("lang", fractions={"en": 0.5, "de": 1.0}, seed=42)
+    by_lang = {r["lang"]: r["count"] for r in s.groupBy("lang").count().collect()}
+    assert abs(by_lang["en"] - 1000) < 150 and by_lang["de"] == 2000
