@@ -476,6 +476,12 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     return D.minhash_dedup_pairs(_docs(spark, sf_dir), threshold=0.05)
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup clustering: MinHash+LSH pairs closed under transitivity
+    via iterative min-label propagation (connected components)."""
+    return D.dedup_clusters(_docs(spark, sf_dir), threshold=0.05)
+
+
 def q_simhash(spark, sf_dir):
     return D.simhash(_docs(spark, sf_dir))
 
@@ -705,6 +711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_prefix": q_jaccard_prefix,
         "minhash_sigs": q_minhash_sigs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "dedup_clusters": q_dedup_clusters,
         "simhash": q_simhash,
         "cosine_topk": q_cosine_topk,
         "knn_join": q_knn_join,
@@ -1234,6 +1241,25 @@ FROM documents GROUP BY md5(text)
     sqls["jaccard_pairs"] = _jaccard_sql(0.08, with_lsh=False)
     sqls["jaccard_prefix"] = _jaccard_sql(0.3, with_lsh=False)
     sqls["minhash_lsh_pairs"] = _jaccard_sql(0.05, with_lsh=True)
+
+    # near-dup clustering: min reachable docid over the undirected dup
+    # graph — recursive CTE closure over the SAME pair relation the
+    # minhash_lsh_pairs oracle produces; singletons cluster to themselves
+    sqls["dedup_clusters"] = f"""
+WITH RECURSIVE pairs AS ({_jaccard_sql(0.05, with_lsh=True)}),
+edges AS (
+  SELECT a AS src, b AS dst FROM pairs
+  UNION SELECT b, a FROM pairs
+),
+reach(id, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id
+),
+cc AS (SELECT id AS docid, min(label) AS cluster FROM reach GROUP BY id)
+SELECT d.doc_id AS docid, coalesce(cc.cluster, d.doc_id) AS cluster
+FROM documents d LEFT JOIN cc ON cc.docid = d.doc_id
+"""
 
     mh_cols = ", ".join(f"mh{j}" for j in range(8))
     sqls["minhash_sigs"] = f"WITH {_minhash_cte()} SELECT docid, {mh_cols} FROM sigs"

@@ -469,3 +469,81 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clustering (connected components over dup pairs)
+# ---------------------------------------------------------------------------
+
+def connected_components(
+    pairs: DataFrame, max_iter: int = 30
+) -> DataFrame:
+    """(docid, cluster) for every vertex in ``pairs(a, b)``: cluster = the
+    minimum docid reachable in the undirected dup graph.
+
+    Iterative min-label propagation as DataFrame jobs (the iterative-
+    algorithm pattern the reference used for PageRank, here serving
+    dedup): each round joins labels across edges and takes the min of
+    (own label, neighbour labels); converges in O(component diameter)
+    rounds — near-dup clusters are shallow (dups of dups), so typically
+    2-4. Each round is one shuffle; `localCheckpoint` truncates the plan
+    so lineage doesn't grow with iterations. Stops early at fixpoint."""
+    edges = (
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+        )
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels, edges["src"] == labels["id"])
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new = (
+            labels.join(neigh, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce("nlabel", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new.join(labels.withColumnRenamed("label", "old"), "id")
+            .filter(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("docid"), F.col("label").alias("cluster"))
+
+
+def dedup_clusters(
+    df: DataFrame,
+    threshold: float,
+    docid: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """(docid, cluster) over ALL docs: near-dup clusters from the
+    MinHash+LSH pair stage closed under transitivity (A~B, B~C → one
+    cluster even when A,C don't collide); singletons cluster to
+    themselves. The keep-policy is then `cluster == docid`."""
+    pairs = minhash_dedup_pairs(df, threshold, docid, text)
+    cc = connected_components(pairs)
+    return (
+        df.select(F.col(docid).alias("docid"))
+        .join(cc, "docid", "left")
+        .select(
+            "docid", F.coalesce("cluster", F.col("docid")).alias("cluster")
+        )
+    )

@@ -502,3 +502,25 @@ def test_stratified_sample(spark):
     s = df.sampleBy("lang", fractions={"en": 0.5, "de": 1.0}, seed=42)
     by_lang = {r["lang"]: r["count"] for r in s.groupBy("lang").count().collect()}
     assert abs(by_lang["en"] - 1000) < 150 and by_lang["de"] == 2000
+
+
+def test_connected_components_transitive_chains(spark):
+    """Min-label propagation closes transitive chains (multi-iteration)
+    and keeps separate components apart."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5),   # chain: needs >1 round
+         (10, 11), (11, 12),
+         (20, 21)],
+        "a long, b long",
+    )
+    got = {r["docid"]: r["cluster"]
+           for r in D.connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_dedup_clusters_singletons_and_dups(spark, docs):
+    got = {r["docid"]: r["cluster"]
+           for r in D.dedup_clusters(docs, threshold=0.5).collect()}
+    assert got[3] == 0 and got[0] == 0        # exact dups cluster to min id
+    assert all(got[d] == d for d in (2, 4, 5))  # singletons self-cluster
