@@ -99,3 +99,33 @@ def test_segment_query_matches_merged(spark, dirs):
         assert [d for d, _ in got] == [d for d, _ in want]
         for (gd, gs), (wd, ws) in zip(got, want):
             assert gs == pytest.approx(ws, abs=1e-9)
+
+
+def test_three_segment_query_matches_union_build(spark, dirs, tmp_path_factory):
+    """Offset accumulation holds beyond two segments: splitting A into two
+    sub-segments (A1, A2, B) must still reproduce the union build."""
+    base = tmp_path_factory.mktemp("seg3")
+    pages = (
+        gen_pages_df(spark, N_A + N_B, partitions=4)
+        .withColumn("rn", F.regexp_extract("url", r"/p/(\d+)\.html", 1).cast("long"))
+        .withColumn("url", F.format_string("%08d", F.col("rn")))
+    )
+    a1 = str(base / "a1"); a2 = str(base / "a2")
+    build_index(pages.filter(F.col("rn") < 60).drop("rn"), a1, lang="en", partitions=4)
+    build_index(
+        pages.filter((F.col("rn") >= 60) & (F.col("rn") < N_A)).drop("rn"),
+        a2, lang="en", partitions=4,
+    )
+    u = Q.load_index(spark, dirs["u"])
+    for q in ["gentlemen", "historic event"]:
+        got = [
+            (r["docid"], r["score"])
+            for r in Q.topk_over_segments(spark, [a1, a2, dirs["b"]], q, k=30).collect()
+        ]
+        want = [
+            (r["docid"], r["score"])
+            for r in Q.topk_distributed(u, q, k=30).collect()
+        ]
+        assert [d for d, _ in got] == [d for d, _ in want]
+        for (gd, gs), (wd, ws) in zip(got, want):
+            assert gs == pytest.approx(ws, abs=1e-9)
