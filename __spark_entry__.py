@@ -2,9 +2,12 @@
 
 `queries()` exposes one entry per implemented operator family from
 SURVEY.md §2 (Flame runtime ops §2.1, text/search ops §2.2, query-side ops
-§2.3) plus the training-data-pipeline operators (dedup / similarity /
-text-analysis). `oracle_sql()` gives the exact DuckDB mirror of each;
-column names and rounding match on both sides.
+§2.3) plus the training-data-pipeline operators (dedup incl. near-dup
+clustering / similarity / text-analysis / multimodal binary columns /
+temporal as-of + range joins / sampling incl. stratified / mid-stream
+segment search). Every registered query has a full value-hash DuckDB
+oracle — `oracle_sql()` gives the exact mirror of each; column names and
+rounding match on both sides.
 
 Cross-engine float policy: scores/cosines rounded to 6 dp before ranking;
 money sums cast to DECIMAL(18,2); deterministic tie-breaks everywhere.
