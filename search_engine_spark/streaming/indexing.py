@@ -148,6 +148,28 @@ def run_ingest(
     return acc
 
 
+def vacuum(work_dir: str) -> list[str]:
+    """Remove orphan index dirs not referenced by the committed LEVELS
+    state (left by a crash between a merge and its input deletion, or by
+    a replayed batch). Safe by construction: the state file is the only
+    source of truth and is committed atomically BEFORE inputs are
+    reclaimed, so anything unreferenced is garbage. Returns the removed
+    paths."""
+    state = _load_state(work_dir)
+    live = set(state["levels"].values())
+    removed = []
+    for name in sorted(os.listdir(work_dir)):
+        p = os.path.join(work_dir, name)
+        if (
+            os.path.isdir(p)
+            and (name.startswith("idx_L") or name.startswith("serving_"))
+            and p not in live
+        ):
+            shutil.rmtree(p, ignore_errors=True)
+            removed.append(p)
+    return removed
+
+
 def level_segments(work_dir: str) -> list[str]:
     """The current level set as segment dirs, oldest → newest (highest
     level holds the oldest docs). Feed to

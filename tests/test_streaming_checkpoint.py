@@ -263,3 +263,25 @@ def test_streaming_incremental_index(spark, tmp_path):
     assert idx2.stats["n_docs"] == n_en
     assert idx2.docs.select("docid").distinct().count() == n_en
     pages.unpersist()
+
+
+def test_vacuum_removes_only_orphans(tmp_path):
+    """vacuum drops crash remnants but never a LEVELS-referenced segment."""
+    import json
+
+    from search_engine_spark.streaming.indexing import vacuum
+
+    work = tmp_path / "work"
+    work.mkdir()
+    (work / "idx_L0_1").mkdir()      # live (referenced)
+    (work / "idx_L1_2").mkdir()      # orphan
+    (work / "serving_9").mkdir()     # orphan
+    (work / "_ckpt").mkdir()         # never touched
+    (work / "LEVELS").write_text(
+        json.dumps({"levels": {"0": str(work / "idx_L0_1")}, "ctr": 3})
+    )
+    removed = vacuum(str(work))
+    assert sorted(os.path.basename(p) for p in removed) == [
+        "idx_L1_2", "serving_9"
+    ]
+    assert (work / "idx_L0_1").exists() and (work / "_ckpt").exists()
