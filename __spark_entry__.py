@@ -485,6 +485,14 @@ def q_dedup_clusters(spark, sf_dir):
     return D.dedup_clusters(_docs(spark, sf_dir), threshold=0.05)
 
 
+def q_dedup_keep(spark, sf_dir):
+    """Near-dup-deduplicated table: one representative per transitive
+    cluster (the curated-corpus output)."""
+    return D.dedup_by_cluster(_docs(spark, sf_dir), threshold=0.05).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
 def q_simhash(spark, sf_dir):
     return D.simhash(_docs(spark, sf_dir))
 
@@ -715,6 +723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_sigs": q_minhash_sigs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_keep": q_dedup_keep,
         "simhash": q_simhash,
         "cosine_topk": q_cosine_topk,
         "knn_join": q_knn_join,
@@ -1262,6 +1271,23 @@ reach(id, label) AS (
 cc AS (SELECT id AS docid, min(label) AS cluster FROM reach GROUP BY id)
 SELECT d.doc_id AS docid, coalesce(cc.cluster, d.doc_id) AS cluster
 FROM documents d LEFT JOIN cc ON cc.docid = d.doc_id
+"""
+
+    sqls["dedup_keep"] = f"""
+WITH RECURSIVE pairs AS ({_jaccard_sql(0.05, with_lsh=True)}),
+edges AS (
+  SELECT a AS src, b AS dst FROM pairs
+  UNION SELECT b, a FROM pairs
+),
+reach(id, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id
+),
+cc AS (SELECT id AS docid, min(label) AS cluster FROM reach GROUP BY id)
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d LEFT JOIN cc ON cc.docid = d.doc_id
+WHERE coalesce(cc.cluster, d.doc_id) = d.doc_id
 """
 
     mh_cols = ", ".join(f"mh{j}" for j in range(8))

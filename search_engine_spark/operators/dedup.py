@@ -545,3 +545,21 @@ def dedup_clusters(
             "docid", F.coalesce("cluster", F.col("docid")).alias("cluster")
         )
     )
+
+
+def dedup_by_cluster(
+    df: DataFrame,
+    threshold: float,
+    docid: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """The near-dup-deduplicated table: keep exactly one doc per
+    transitive near-dup cluster (the min-docid representative). This is
+    the row-level output corpus curation actually consumes — exact_dedup
+    removes byte-identical copies; this removes near-copies too."""
+    keep = (
+        dedup_clusters(df, threshold, docid, text)
+        .filter(F.col("cluster") == F.col("docid"))
+        .select(F.col("docid").alias(docid))
+    )
+    return df.join(keep, docid, "left_semi")
