@@ -31,6 +31,7 @@ from search_engine_spark.operators import textstats as TS
 from search_engine_spark.operators.indexer import build_index
 from search_engine_spark.operators import query as IQ
 from search_engine_spark.functions.hashing import (
+    md5_int32_hi_sql,
     md5_int32_sql,
     md5_two_hash_sql,
 )
@@ -134,12 +135,21 @@ def q_doc_lengths(spark, sf_dir):
 
 
 def q_document_frequencies(spark, sf_dir):
-    """T7: df/cf over the corpus."""
-    return T.document_frequencies(_docs(spark, sf_dir))
+    """T7: per-term df/cf AND idf = ln((N-df+.5)/(df+.5)+1) in one result
+    (the separate r1/r2 `idf` entry is folded in here — same aggregation,
+    one driver-gate slot)."""
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    return T.document_frequencies(docs).select(
+        "term",
+        "df",
+        "cf",
+        F.round(T.bm25_idf_col(n, F.col("df")), 6).alias("idf"),
+    )
 
 
 def q_idf(spark, sf_dir):
-    """T7: idf = ln((N-df+.5)/(df+.5)+1), rounded 6dp."""
+    """T7 (extra-gate): idf-only projection, kept for the local mirror."""
     docs = _docs(spark, sf_dir)
     n = docs.count()
     return (
@@ -184,13 +194,26 @@ def q_bm25_batch(spark, sf_dir):
 
 
 def q_topk_urls(spark, sf_dir):
-    """Result assembly: (docid, url, score, snippet) — what the reference
-    frontend actually returns to the user."""
+    """Result assembly: (docid, url, score, snippet, title) — the full
+    answer shape the reference frontend returns (frontend/Master.java:
+    228-256 folds titles.table in per hit). The documents table has no
+    html, so pages are wrapped deterministically (title = first 4 tokens)
+    and the REAL <title> regex-extraction path pulls it back out."""
     idx = _cached_index(spark, sf_dir)
-    corpus = _docs(spark, sf_dir).select(
-        F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("url"), "text"
+    docs = _docs(spark, sf_dir)
+    title = F.concat_ws(" ", F.slice(T.tokens_col("text"), 1, 4))
+    corpus = docs.select(
+        F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("url"),
+        "text",
+        F.concat(
+            F.lit("<html><head><title>"), title,
+            F.lit("</title></head><body>"), F.col("text"),
+            F.lit("</body></html>"),
+        ).alias("html"),
     )
-    return IQ.topk_with_urls(idx, corpus, "spark table join", k=20)
+    return IQ.topk_with_urls(
+        idx, corpus, "spark table join", k=20, html_col="html"
+    )
 
 
 def q_stemmed_topk(spark, sf_dir):
@@ -252,12 +275,21 @@ def q_distinct_terms(spark, sf_dir):
 
 
 def q_corpus_stats(spark, sf_dir):
-    """#9 global fold: n_docs + avgdl in one partial+final aggregate."""
-    dl = T.doc_lengths(_docs(spark, sf_dir))
-    return dl.agg(
+    """#9 global fold + #15/#17 distinct-count: n_docs, avgdl and the
+    distinct vocabulary size in one result (the r1/r2 `distinct_terms`
+    entry folded in — one driver-gate slot)."""
+    docs = _docs(spark, sf_dir)
+    dl = T.doc_lengths(docs).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.round(F.avg("dl"), 6).alias("avgdl"),
     )
+    nt = (
+        T.exploded_terms(docs)
+        .select("term")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_terms"))
+    )
+    return dl.crossJoin(nt)
 
 
 # --- relational / Flame-op coverage over the TPC-H-ish tables ---------------
@@ -309,24 +341,25 @@ def q_cogroup(spark, sf_dir):
 
 
 def q_foldbykey(spark, sf_dir):
-    """#8 foldByKey over events: per-user value sum (DECIMAL-exact)."""
+    """#8 foldByKey over events: per-user value sum, exact in integer
+    cents (per-row round→BIGINT before the sum: associative, engine- and
+    order-independent — r1/r2's DECIMAL output hashed differently across
+    engines even when values compared equal)."""
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy("user_id").agg(
-        F.sum(F.col("value").cast("decimal(18,2)"))
-        .cast("decimal(38,2)")
-        .alias("total_value"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .alias("total_cents"),
         F.count(F.lit(1)).alias("n_events"),
     )
 
 
 def q_fold_global(spark, sf_dir):
-    """#9 fold: global lineitem aggregate (partial+final)."""
+    """#9 fold: global lineitem aggregate (partial+final). l_quantity is
+    integer-valued → exact BIGINT sum (no DECIMAL in the result type)."""
     li = _t(spark, sf_dir, "lineitem")
     return li.agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
-        .cast("decimal(38,2)")
-        .alias("sum_qty"),
+        F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
         F.round(F.avg("l_discount"), 6).alias("avg_disc"),
     )
 
@@ -378,15 +411,13 @@ def q_intersection(spark, sf_dir):
 
 
 def q_tpch_pricing(spark, sf_dir):
-    """TPC-H Q1-style pricing summary (grouping agg coverage)."""
+    """TPC-H Q1-style pricing summary (grouping agg coverage). Money in
+    integer cents (exact, hash-stable across engines)."""
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
-        .cast("decimal(38,2)")
-        .alias("sum_qty"),
-        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
-        .cast("decimal(38,2)")
-        .alias("sum_price"),
+        F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+        .alias("sum_price_cents"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -407,16 +438,19 @@ def q_window_top_order(spark, sf_dir):
 
 
 def q_events_hourly(spark, sf_dir):
-    """Tumbling-window aggregation (batch mirror of the streaming op)."""
+    """Tumbling-window aggregation (batch mirror of the streaming op).
+    Hour bucket emitted as a formatted STRING and the value sum in integer
+    cents — no timestamp/DECIMAL in the result schema (both hashed
+    differently across engines in r1/r2 despite equal values)."""
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy(
-        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss")
+        .alias("hour"),
         "event_type",
     ).agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("value").cast("decimal(18,2)"))
-        .cast("decimal(38,2)")
-        .alias("sum_value"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .alias("sum_cents"),
     )
 
 
@@ -662,6 +696,70 @@ def q_simhash_near_pairs(spark, sf_dir):
     return D.simhash_near_pairs(_docs(spark, sf_dir), max_hamming=3)
 
 
+def q_pagerank(spark, sf_dir):
+    """T10 PageRank (jobs/PageRank.java:223-449): 10 rounds of the classic
+    damped update over a deterministic synthetic link graph (testdata has
+    no link table; the rule is SQL-mirrorable so ranks are value-checked,
+    not rows-only)."""
+    from search_engine_spark.operators import pagerank as PR
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    n = docs.count()
+    edges = PR.synthetic_edges(docs, n)
+    out = PR.pagerank(edges, nodes=docs, iters=10)
+    return out.select(
+        F.col("id").alias("docid"), F.round("rank", 6).alias("rank")
+    )
+
+
+def q_doc_signatures(spark, sf_dir):
+    """Per-doc identity & size signature: rolling-hash fingerprint + BPE
+    token estimate in one row (merges the r2 `fingerprint` and
+    `bpe_tokens` entries — one driver-gate slot, both operators checked)."""
+    docs = _docs(spark, sf_dir)
+    fp = TS.fingerprint(docs)
+    bpe = TS.bpe_token_estimate(docs)
+    return fp.join(bpe, "docid").select(
+        "docid", "fp", "n_pieces", "n_words", "pieces_per_word"
+    )
+
+
+def q_ann_topk(spark, sf_dir):
+    """Approximate top-k, both index families in one result: sign-LSH
+    multi-probe and IVF(nprobe) over the same query vector, tagged by
+    method (merges the r2 `lsh_topk` + `ivf_topk` entries)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    rows = sorted(
+        emb.filter(F.col("vec_id") < 8).collect(), key=lambda r: r["vec_id"]
+    )
+    pivots = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in rows
+    ]
+    qv = pivots[0][1]
+    lsh = S.lsh_topk(emb, qv, k=10, n_planes=6).withColumn(
+        "method", F.lit("lsh")
+    )
+    ivf = S.ivf_topk(emb, pivots, qv, k=10, nprobe=3).withColumn(
+        "method", F.lit("ivf")
+    )
+    return lsh.unionByName(ivf).select("method", "vec_id", "cos")
+
+
+def q_media_images(spark, sf_dir):
+    """Multimodal image path, both stages in one result: Arrow-batched
+    binary decode of the original payloads AND decode-after-resize
+    (nearest-neighbour), tagged by stage (merges the r2 `media_decode` +
+    `media_resize` entries; the frame-sampling video path stays its own
+    entry)."""
+    media = MM.media_from_docs(_docs(spark, sf_dir))
+    orig = MM.decode_images(media).withColumn("stage", F.lit("orig"))
+    res = MM.resize_images(media, 5, 4).withColumn("kind", F.lit("image"))
+    resized = MM.decode_images(res).withColumn("stage", F.lit("resized"))
+    return orig.unionByName(resized).select(
+        "stage", "media_id", "width", "height", "mean_px"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Entry + registry
 # ---------------------------------------------------------------------------
@@ -676,26 +774,28 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """EXACTLY 50 entries — the driver gate records at most 50 rows (r2
+    registered 61 and the file contained precisely the first 50 in
+    registry order), so related entries are merged rather than dropped:
+    every operator family keeps a value-checked driver row, and the
+    pre-merge single-operator variants stay verified via
+    ``extra_queries()`` + tests/test_extra_gate.py."""
     return {
         # text/search core (SURVEY §2.2/§2.3)
         "term_frequencies": q_term_frequencies,
-        "doc_lengths": q_doc_lengths,
-        "document_frequencies": q_document_frequencies,
-        "idf": q_idf,
+        "document_frequencies": q_document_frequencies,  # + idf (merged)
         "bm25_multi": q_bm25_multi,
-        "bm25_single": q_bm25_single,
         "bm25_rare": q_bm25_rare,
         "bm25_index_all": q_bm25_index_all,
         "bm25_batch": q_bm25_batch,
         "segments_topk": q_segments_topk,
-        "topk_urls": q_topk_urls,
+        "topk_urls": q_topk_urls,  # + title (reference answer shape)
         "stemmed_topk": q_stemmed_topk,
         "top_terms": q_top_terms,
         "autocomplete": q_autocomplete,
-        "phrase": q_phrase,
         "phrase_index": q_phrase_index,
-        "distinct_terms": q_distinct_terms,
-        "corpus_stats": q_corpus_stats,
+        "corpus_stats": q_corpus_stats,  # + distinct_terms (merged)
+        "pagerank": q_pagerank,
         # Flame-op / relational coverage (SURVEY §2.1/§2.4)
         "filter_project": q_filter_project,
         "join_agg": q_join_agg,
@@ -704,7 +804,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fold_global": q_fold_global,
         "distinct_flags": q_distinct_flags,
         "take_ordered": q_take_ordered,
-        "sample_mod": q_sample_mod,
         "sample_bernoulli": q_sample_bernoulli,
         "sample_stratified": q_sample_stratified,
         "union_merge": q_union_merge,
@@ -723,26 +822,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_sigs": q_minhash_sigs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "dedup_clusters": q_dedup_clusters,
-        "dedup_keep": q_dedup_keep,
-        "simhash": q_simhash,
-        "cosine_topk": q_cosine_topk,
+        "simhash_near_pairs": q_simhash_near_pairs,
         "knn_join": q_knn_join,
+        "cosine_near_pairs": q_cosine_near_pairs,
+        "ann_topk": q_ann_topk,  # lsh_topk + ivf_topk (merged)
         "lang_id": q_lang_id,
         "quality": q_quality,
         "token_counts": q_token_counts,
-        "fingerprint": q_fingerprint,
-        "bpe_tokens": q_bpe_tokens,
+        "doc_signatures": q_doc_signatures,  # fingerprint + bpe (merged)
         "len_quantiles": q_len_quantiles,
-        "cosine_near_pairs": q_cosine_near_pairs,
         "extract_digits": q_extract_digits,
         # multimodal (binary media columns, deterministic FIMG payloads)
-        "media_decode": q_media_decode,
-        "media_resize": q_media_resize,
+        "media_images": q_media_images,  # decode + resize (merged)
         "media_frames": q_media_frames,
-        # approximate (rows-only)
+    }
+
+
+def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Single-operator variants folded out of the 50-entry driver registry
+    — still first-class operators, still oracle-checked (same contract)
+    via tools/check_gate.py --extra and tests/test_extra_gate.py."""
+    return {
+        "doc_lengths": q_doc_lengths,
+        "idf": q_idf,
+        "bm25_single": q_bm25_single,
+        "phrase": q_phrase,
+        "distinct_terms": q_distinct_terms,
+        "sample_mod": q_sample_mod,
+        "dedup_keep": q_dedup_keep,
+        "simhash": q_simhash,
+        "cosine_topk": q_cosine_topk,
+        "fingerprint": q_fingerprint,
+        "bpe_tokens": q_bpe_tokens,
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
-        "simhash_near_pairs": q_simhash_near_pairs,
+        "media_decode": q_media_decode,
+        "media_resize": q_media_resize,
     }
 
 
@@ -844,27 +959,34 @@ FROM h
 
 
 def _simhash_ctes() -> str:
-    """CTE chain ending in sg(docid, simhash) — shared by the simhash and
-    simhash_near_pairs oracles."""
-    h32 = md5_int32_sql("term")
+    """CTE chain ending in sg(docid, sim_lo, sim_hi) — 64-bit SimHash as
+    two non-negative 32-bit halves (mirrors dedup.simhash exactly);
+    shared by the simhash and simhash_near_pairs oracles."""
+    hlo = md5_int32_sql("term")
+    hhi = md5_int32_hi_sql("term")
     return f"""{TOKS_CTE}, {FLAT_CTE},
 tf AS (SELECT docid, term, count(*) AS tf FROM flat GROUP BY docid, term),
-hh AS (SELECT docid, tf, {h32} AS h FROM tf),
+hh AS (SELECT docid, tf, {hlo} AS hlo, {hhi} AS hhi FROM tf),
 bits AS (
   SELECT docid, g.bit,
-         sum(CASE WHEN (h >> g.bit) & 1 = 1 THEN tf ELSE -tf END) AS s
-  FROM hh, unnest(generate_series(0, 31)) AS g(bit)
+         sum(CASE WHEN ((CASE WHEN g.bit < 32 THEN hlo ELSE hhi END)
+                        >> (g.bit % 32)) & 1 = 1
+             THEN tf ELSE -tf END) AS s
+  FROM hh, unnest(generate_series(0, 63)) AS g(bit)
   GROUP BY docid, g.bit
 ),
 sg AS (
   SELECT docid,
-         sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash
+         sum(CASE WHEN s > 0 AND bit < 32
+             THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS sim_lo,
+         sum(CASE WHEN s > 0 AND bit >= 32
+             THEN (1::BIGINT << (bit - 32)) ELSE 0 END)::BIGINT AS sim_hi
   FROM bits GROUP BY docid
 )"""
 
 
 def _simhash_sql() -> str:
-    return f"WITH {_simhash_ctes()} SELECT docid, simhash FROM sg"
+    return f"WITH {_simhash_ctes()} SELECT docid, sim_lo, sim_hi FROM sg"
 
 
 def _simhash_near_pairs_sql(max_hamming: int = 3) -> str:
@@ -872,12 +994,15 @@ def _simhash_near_pairs_sql(max_hamming: int = 3) -> str:
     bit-band bucketing is lossless by pigeonhole (any pair within hamming r
     agrees exactly on >=1 of r+1 bands), so the banded result equals the
     exhaustive pair set the oracle computes directly."""
+    ham = (
+        "bit_count(xor(l.sim_lo, r.sim_lo)) + "
+        "bit_count(xor(l.sim_hi, r.sim_hi))"
+    )
     return f"""
 WITH {_simhash_ctes()}
-SELECT l.docid AS a, r.docid AS b,
-       bit_count(xor(l.simhash, r.simhash))::INT AS hamming
+SELECT l.docid AS a, r.docid AS b, ({ham})::INT AS hamming
 FROM sg l JOIN sg r ON l.docid < r.docid
-WHERE bit_count(xor(l.simhash, r.simhash)) <= {max_hamming}
+WHERE {ham} <= {max_hamming}
 """
 
 
@@ -975,7 +1100,9 @@ FROM sc ORDER BY cos DESC, vec_id ASC LIMIT {k}
 """
 
 
-def oracle_sql() -> dict[str, str]:
+def _all_oracle_sql() -> dict[str, str]:
+    """Every oracle mirror — driver-registry AND extra entries; the public
+    accessors below slice it by registry."""
     sqls: dict[str, str] = {}
 
     sqls["term_frequencies"] = f"""
@@ -990,8 +1117,12 @@ SELECT docid, len(toks)::INT AS dl FROM toks
 
     sqls["document_frequencies"] = f"""
 WITH {TOKS_CTE}, {FLAT_CTE},
-tf AS (SELECT docid, term, count(*) AS tf FROM flat GROUP BY docid, term)
-SELECT term, count(*) AS df, sum(tf)::BIGINT AS cf FROM tf GROUP BY term
+tf AS (SELECT docid, term, count(*) AS tf FROM flat GROUP BY docid, term),
+d AS (SELECT term, count(*) AS df, sum(tf)::BIGINT AS cf FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT term, df, cf,
+       round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0), 6) AS idf
+FROM d, n
 """
 
     sqls["idf"] = f"""
@@ -1029,12 +1160,19 @@ FROM ({T.bm25_topk_sql_oracle(q, k=15)})""")
     )
 
     snip = IQ.snippet_sql(T.query_terms("spark table join"), "d.text")
+    # title mirror: the Spark side wraps text into html with
+    # title = first 4 simple tokens, then regex-extracts <title> back out
+    title = (
+        "array_to_string((list_filter(string_split_regex(lower(d.text), "
+        "'[^a-z0-9]+'), x -> x <> ''))[1:4], ' ')"
+    )
     sqls["topk_urls"] = f"""
 WITH scored AS ({T.bm25_topk_sql_oracle("spark table join", k=20)})
 SELECT s.docid,
        lpad(CAST(d.doc_id AS VARCHAR), 12, '0') AS url,
        s.score,
-       {snip} AS snippet
+       {snip} AS snippet,
+       {title} AS title
 FROM scored s JOIN documents d ON d.doc_id = s.docid
 """
 
@@ -1083,8 +1221,10 @@ SELECT count(DISTINCT term) AS n_terms FROM flat
 """
 
     sqls["corpus_stats"] = f"""
-WITH {TOKS_CTE}
-SELECT count(*) AS n_docs, round(avg(len(toks)), 6) AS avgdl FROM toks
+WITH {TOKS_CTE}, {FLAT_CTE},
+s1 AS (SELECT count(*) AS n_docs, round(avg(len(toks)), 6) AS avgdl FROM toks),
+s2 AS (SELECT count(DISTINCT term) AS n_terms FROM flat)
+SELECT n_docs, avgdl, n_terms FROM s1, s2
 """
 
     sqls["filter_project"] = """
@@ -1108,14 +1248,15 @@ FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
 """
 
     sqls["foldbykey"] = """
-SELECT user_id, sum(value::DECIMAL(18,2))::DECIMAL(38,2) AS total_value,
+SELECT user_id,
+       sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS total_cents,
        count(*) AS n_events
 FROM events GROUP BY user_id
 """
 
     sqls["fold_global"] = """
 SELECT count(*) AS n_rows,
-       sum(l_quantity::DECIMAL(18,2))::DECIMAL(38,2) AS sum_qty,
+       sum(l_quantity::BIGINT)::BIGINT AS sum_qty,
        round(avg(l_discount), 6) AS avg_disc
 FROM lineitem
 """
@@ -1158,8 +1299,9 @@ SELECT term FROM t0 INTERSECT SELECT term FROM t1
 
     sqls["tpch_pricing"] = """
 SELECT l_returnflag, l_linestatus,
-       sum(l_quantity::DECIMAL(18,2))::DECIMAL(38,2) AS sum_qty,
-       sum(l_extendedprice::DECIMAL(18,2))::DECIMAL(38,2) AS sum_price,
+       sum(l_quantity::BIGINT)::BIGINT AS sum_qty,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT
+         AS sum_price_cents,
        count(*) AS n
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
@@ -1175,8 +1317,9 @@ SELECT o_custkey, o_orderkey, o_totalprice FROM r WHERE rn = 1
 """
 
     sqls["events_hourly"] = """
-SELECT date_trunc('hour', ts) AS hour, event_type,
-       count(*) AS n, sum(value::DECIMAL(18,2))::DECIMAL(38,2) AS sum_value
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type, count(*) AS n,
+       sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_cents
 FROM events GROUP BY 1, 2
 """
 
@@ -1453,4 +1596,45 @@ SELECT doc_id AS media_id, t.i::INT AS frame_idx,
 FROM v, unnest(generate_series(0, nf-1, 4)) AS t(i)
 """
 
+    sqls["media_images"] = f"""
+SELECT 'orig' AS stage, * FROM ({sqls["media_decode"]})
+UNION ALL
+SELECT 'resized' AS stage, * FROM ({sqls["media_resize"]})
+"""
+
+    sqls["ann_topk"] = f"""
+SELECT 'lsh' AS method, vec_id, cos FROM ({sqls["lsh_topk"]})
+UNION ALL
+SELECT 'ivf' AS method, vec_id, cos FROM ({sqls["ivf_topk"]})
+"""
+
+    from search_engine_spark.operators.pagerank import pagerank_sql
+
+    sqls["pagerank"] = pagerank_sql(iters=10)
+
+    sqls["doc_signatures"] = f"""
+WITH {TOKS_CTE},
+p AS (
+  SELECT doc_id AS docid,
+         len(regexp_extract_all(lower(text), '{TS.BPE_PIECE_RE}'))::INT AS n_pieces
+  FROM documents
+)
+SELECT t.docid, md5(array_to_string(t.toks, ' ')) AS fp,
+       p.n_pieces, len(t.toks)::INT AS n_words,
+       CASE WHEN len(t.toks) > 0
+            THEN round(p.n_pieces * 1.0 / len(t.toks), 6)
+            ELSE 0.0 END AS pieces_per_word
+FROM toks t JOIN p ON p.docid = t.docid
+"""
+
     return sqls
+
+
+def oracle_sql() -> dict[str, str]:
+    all_sqls = _all_oracle_sql()
+    return {k: all_sqls[k] for k in queries() if k in all_sqls}
+
+
+def extra_oracle_sql() -> dict[str, str]:
+    all_sqls = _all_oracle_sql()
+    return {k: all_sqls[k] for k in extra_queries() if k in all_sqls}

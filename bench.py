@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "join_agg",
     "window_top_order",
     "sessionize",
+    "pagerank",
 ]
 
 
@@ -62,20 +63,25 @@ def main() -> None:
     import __spark_entry__ as E
 
     spark = get_spark(app_name="bench", cores=cpus, shuffle_partitions=cpus)
-    qs = E.queries()
+    qs = {**E.queries(), **E.extra_queries()}
 
     # Warm-up (excluded from timings): run every bench query once at the
     # tiny sf so JVM/codegen/shuffle machinery and the Python worker pool
     # are steady-state before measurement — per-query numbers then reflect
-    # execution cost, not first-call compilation.
+    # execution cost, not first-call compilation. A query whose warm-up
+    # RAISES is reported (its timed number below then includes first-call
+    # compilation — don't let that stay invisible).
     spark.range(1000).count()
+    warm_failed: list[str] = []
     warm_sf = "/root/testdata/sf0.001"
     if os.path.isdir(warm_sf) and warm_sf != sf_dir:
         for name in BENCH_QUERIES:
             try:
                 qs[name](spark, warm_sf).count()
-            except Exception:
-                pass
+            except Exception as ex:
+                warm_failed.append(name)
+                print(f"WARN bench warm-up failed for {name}: "
+                      f"{str(ex)[:200]}", file=sys.stderr)
 
     per_query: dict[str, float] = {}
     total = 0.0
@@ -115,6 +121,8 @@ def main() -> None:
             "docs_per_sec": round(stats["n_docs"] / build_s, 1),
         },
     }
+    if warm_failed:
+        out["warm_up_failed"] = warm_failed
     print(json.dumps(out))
 
 

@@ -81,9 +81,24 @@ class Warehouse:
         else:
             df.write.mode(mode).parquet(os.path.join(self.root, name))
 
+    def _recover(self, name: str) -> None:
+        """Heal the parquet-path swap's crash window: ``compact`` renames
+        ``path → path.old`` then ``path.compacting → path``; a crash
+        between the two leaves no live table. If ``path`` is missing but
+        ``path.old`` exists, roll back (the .compacting copy, when
+        complete, is equivalent — but .old is always a known-good full
+        table, so restoring it is the safe choice either way)."""
+        if self._iceberg:
+            return
+        path = os.path.join(self.root, name)
+        old = path + ".old"
+        if not os.path.exists(path) and os.path.exists(old):
+            os.rename(old, path)
+
     def read(self, name: str) -> DataFrame:
         if self._iceberg:
             return self.spark.read.table(self._ident(name))
+        self._recover(name)
         return self.spark.read.parquet(os.path.join(self.root, name))
 
     def compact(
@@ -96,12 +111,15 @@ class Warehouse:
         merge level / chunk commit leaves its own small files); at scale
         that throttles scan planning and object-store reads. Iceberg:
         this is the ``rewrite_data_files`` action (createOrReplace
-        snapshot). Parquet: staged rewrite + directory swap, so a crashed
-        compaction never leaves a partial table. Returns
+        snapshot). Parquet: staged rewrite + two-rename directory swap —
+        a crash inside the swap window strands the table at
+        ``<path>.old``, which :meth:`read`/:meth:`compact` roll back
+        automatically on the next call (see ``_recover``). Returns
         {files_before, files_after, bytes}."""
         import math
         import shutil
 
+        self._recover(name)
         df = self.read(name)
         if self._iceberg:
             nbytes = None
@@ -127,6 +145,8 @@ class Warehouse:
         tmp = path + ".compacting"
         out.write.mode("overwrite").parquet(tmp)
         old = path + ".old"
+        shutil.rmtree(old, ignore_errors=True)  # stale leftover from a
+        # crash AFTER a completed earlier swap — path is live, drop it
         os.rename(path, old)
         os.rename(tmp, path)
         shutil.rmtree(old, ignore_errors=True)

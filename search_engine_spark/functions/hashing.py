@@ -86,3 +86,19 @@ def md5_int32_sql(expr: str, seed: int | str = 0) -> str:
 
 def md5_int32_py(value: str, seed: int | str = 0) -> int:
     return int(hashlib.md5(f"{seed}:{value}".encode()).hexdigest()[:8], 16)
+
+
+# second 32-bit word of the same digest — with md5_int32 this gives a
+# 64-bit hash as two sign-safe halves (SimHash uses both)
+
+def md5_int32_hi(col: Column, seed: int | str = 0) -> Column:
+    tagged = F.concat(F.lit(f"{seed}:"), col)
+    return F.conv(F.substring(F.md5(tagged), 9, 8), 16, 10).cast("long")
+
+
+def md5_int32_hi_sql(expr: str, seed: int | str = 0) -> str:
+    return f"(('0x' || substr(md5('{seed}:' || {expr}), 9, 8))::BIGINT)"
+
+
+def md5_int32_hi_py(value: str, seed: int | str = 0) -> int:
+    return int(hashlib.md5(f"{seed}:{value}".encode()).hexdigest()[8:16], 16)

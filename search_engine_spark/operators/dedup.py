@@ -15,8 +15,9 @@ Four families, all DataFrame-declarative (JVM built-ins; no Python UDFs):
   hash functions), banded into LSH buckets; candidate pairs = bucket
   self-join; final answer verified with exact Jaccard. Deterministic
   (functions/hashing.py) so even the LSH stage is oracle-checkable.
-* **SimHash** — 32-bit tf-weighted SimHash per document; near-dup pairs =
-  signature hamming distance ≤ r via (bucket-join on bit-bands).
+* **SimHash** — 64-bit tf-weighted SimHash per document (two 32-bit
+  halves); near-dup pairs = signature hamming distance ≤ r via
+  bucket-join on 16-bit bit-bands.
 
 All outputs order doc pairs (a < b) for stable comparison.
 """
@@ -25,7 +26,11 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-from search_engine_spark.functions.hashing import md5_int32, md5_two_hash_cols
+from search_engine_spark.functions.hashing import (
+    md5_int32,
+    md5_int32_hi,
+    md5_two_hash_cols,
+)
 from search_engine_spark.operators.text_ops import tokens_col
 from search_engine_spark.session import widen_small_input
 
@@ -378,49 +383,71 @@ def minhash_dedup_pairs(
 # SimHash
 # ---------------------------------------------------------------------------
 
-SIMHASH_BITS = 32
+SIMHASH_BITS = 64  # r2's 32-bit signature banded into 8-bit keys = only
+# 256 buckets per band — effectively quadratic at web scale. 64 bits with
+# 16-bit bands (max_hamming=3) gives 65,536 buckets per band; signatures
+# are carried as two 32-bit halves (sim_lo bits 0-31, sim_hi bits 32-63)
+# so no shift ever touches a sign bit in either engine.
 
 
 def simhash(
     df: DataFrame, docid: str = "doc_id", text: str = "text"
 ) -> DataFrame:
-    """(docid, simhash) — 32-bit tf-weighted SimHash (Charikar 2002).
+    """(docid, sim_lo, sim_hi) — 64-bit tf-weighted SimHash (Charikar
+    2002) as two non-negative 32-bit halves.
 
-    Plan: explode tokens → per-(doc,term) tf → term hash (md5 32-bit) →
-    explode bit index 0..31 → signed tf sum per (doc, bit) → bit j set iff
-    sum > 0 → simhash = Σ 2^j. All built-ins; two keyed shuffles."""
+    Plan: explode tokens → per-(doc,term) tf → ONE md5 per term yields
+    both 32-bit half-hashes → ONE wide aggregation per doc with 65 sum
+    columns (Σtf·bit_j for each j, plus Σtf). The signed per-bit sum is
+    2·Σtf·bit_j − Σtf, so bit j is set iff 2·s_j > Σtf. No per-bit row
+    explosion (the r1/r2 plan exploded 32 rows per (doc,term) — 64 bits
+    would have doubled that); two keyed shuffles total, both with
+    map-side partial aggregation."""
     df = widen_small_input(df)
     tf = (
         df.select(F.col(docid).alias("docid"), F.explode(tokens_col(text)).alias("term"))
         .groupBy("docid", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .withColumn("h", md5_int32(F.col("term")))
+        .withColumn("hlo", md5_int32(F.col("term")))
+        .withColumn("hhi", md5_int32_hi(F.col("term")))
     )
-    bits = tf.select(
-        "docid",
-        "tf",
-        "h",
-        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit"),
-    ).withColumn(
-        "contrib",
-        F.when(
-            F.expr("(shiftright(h, bit) & 1) = 1"),
-            F.col("tf"),
-        ).otherwise(-F.col("tf")),
+    aggs = []
+    for b in range(SIMHASH_BITS):
+        h = F.col("hlo") if b < 32 else F.col("hhi")
+        bit = F.shiftright(h, b % 32).bitwiseAND(F.lit(1))
+        aggs.append(F.sum(F.col("tf") * bit).alias(f"s{b}"))
+    aggs.append(F.sum("tf").alias("stot"))
+    wide = tf.groupBy("docid").agg(*aggs)
+    lo = F.lit(0).cast("long")
+    hi = F.lit(0).cast("long")
+    for b in range(32):
+        lo = lo + F.when(
+            2 * F.col(f"s{b}") > F.col("stot"), F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    for b in range(32, 64):
+        hi = hi + F.when(
+            2 * F.col(f"s{b}") > F.col("stot"),
+            F.lit(1 << (b - 32)).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+    return wide.select(
+        "docid", lo.alias("sim_lo"), hi.alias("sim_hi")
     )
-    return (
-        bits.groupBy("docid", "bit")
-        .agg(F.sum("contrib").alias("s"))
-        .withColumn(
-            "bitval",
-            F.when(
-                F.col("s") > 0,
-                F.expr("shiftleft(CAST(1 AS BIGINT), bit)"),
-            ).otherwise(F.lit(0).cast("long")),
+
+
+def _band_key(lo: Column, hi: Column, start: int, width: int) -> Column:
+    """Bits [start, start+width) of the 64-bit signature held as two
+    non-negative 32-bit halves — handles bands straddling the halves."""
+    end = start + width
+    if end <= 32:
+        return F.shiftright(lo, start).bitwiseAND(F.lit((1 << width) - 1))
+    if start >= 32:
+        return F.shiftright(hi, start - 32).bitwiseAND(
+            F.lit((1 << width) - 1)
         )
-        .groupBy("docid")
-        .agg(F.sum("bitval").alias("simhash"))
-    )
+    lo_bits = 32 - start
+    lo_part = F.shiftright(lo, start)  # already < 2^lo_bits
+    hi_part = hi.bitwiseAND(F.lit((1 << (end - 32)) - 1))
+    return lo_part + F.shiftleft(hi_part, lo_bits)
 
 
 def simhash_near_pairs(
@@ -431,39 +458,51 @@ def simhash_near_pairs(
 ) -> DataFrame:
     """(a, b, hamming) pairs with SimHash hamming distance ≤ max_hamming.
 
-    Scale path: split the 32-bit signature into (max_hamming+1) bit-bands —
-    any pair within distance r agrees exactly on ≥1 band (pigeonhole) —
-    bucket-join per band, then verify with bit_count(xor)."""
+    Scale path: split the 64-bit signature into (max_hamming+1) bit-bands
+    — any pair within distance r agrees exactly on ≥1 band (pigeonhole) —
+    bucket-join per band, then verify with bit_count(xor) over both
+    halves. Default r=3 → 4 bands × 16 bits = 65,536 buckets per band."""
     sigs = simhash(df, docid, text)
     nbands = max_hamming + 1
     width = SIMHASH_BITS // nbands
     parts = []
     for b in range(nbands):
-        shift = b * width
-        w = width if b < nbands - 1 else SIMHASH_BITS - shift
-        mask = (1 << w) - 1
+        start = b * width
+        w = width if b < nbands - 1 else SIMHASH_BITS - start
         parts.append(
             sigs.select(
                 "docid",
-                "simhash",
+                "sim_lo",
+                "sim_hi",
                 F.lit(b).alias("band"),
-                F.shiftright(F.col("simhash"), shift).bitwiseAND(F.lit(mask)).alias("key"),
+                _band_key(F.col("sim_lo"), F.col("sim_hi"), start, w).alias(
+                    "key"
+                ),
             )
         )
     banded = parts[0]
     for p in parts[1:]:
         banded = banded.unionByName(p)
-    left = banded.select("band", "key", F.col("docid").alias("a"), F.col("simhash").alias("sa"))
-    right = banded.select("band", "key", F.col("docid").alias("b"), F.col("simhash").alias("sb"))
+    left = banded.select(
+        "band", "key", F.col("docid").alias("a"),
+        F.col("sim_lo").alias("la"), F.col("sim_hi").alias("ha"),
+    )
+    right = banded.select(
+        "band", "key", F.col("docid").alias("b"),
+        F.col("sim_lo").alias("lb"), F.col("sim_hi").alias("hb"),
+    )
     cands = (
         left.join(right, ["band", "key"])
         .filter(F.col("a") < F.col("b"))
-        .select("a", "b", "sa", "sb")
+        .select("a", "b", "la", "ha", "lb", "hb")
         .distinct()
     )
     return (
-        cands.withColumn("x", F.col("sa").bitwiseXOR(F.col("sb")))
-        .withColumn("hamming", F.bit_count("x"))
+        cands.withColumn(
+            "hamming",
+            F.bit_count(F.col("la").bitwiseXOR(F.col("lb")))
+            + F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))),
+        )
         .filter(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
     )
@@ -474,18 +513,33 @@ def simhash_near_pairs(
 # ---------------------------------------------------------------------------
 
 def connected_components(
-    pairs: DataFrame, max_iter: int = 30
+    pairs: DataFrame, max_iter: int = 50, algorithm: str = "star"
 ) -> DataFrame:
     """(docid, cluster) for every vertex in ``pairs(a, b)``: cluster = the
     minimum docid reachable in the undirected dup graph.
 
-    Iterative min-label propagation as DataFrame jobs (the iterative-
-    algorithm pattern the reference used for PageRank, here serving
-    dedup): each round joins labels across edges and takes the min of
-    (own label, neighbour labels); converges in O(component diameter)
-    rounds — near-dup clusters are shallow (dups of dups), so typically
-    2-4. Each round is one shuffle; `localCheckpoint` truncates the plan
-    so lineage doesn't grow with iterations. Stops early at fixpoint."""
+    Two algorithms, identical output:
+
+    * ``"star"`` (default, the scale path) — alternating large-star /
+      small-star rounds (Kiveris et al., "Connected Components in
+      MapReduce and Beyond", SoCC 2014): converges in O(log n) rounds on
+      ANY topology, including the chain-shaped dup graphs (templated
+      near-dups A~B~C~…) that force label propagation into O(diameter)
+      rounds.
+    * ``"label"`` — min-label propagation (one shuffle per round, the
+      reference's PageRank-style iterative join pattern); fine for the
+      shallow clusters real dedup produces.
+
+    Both run to FIXPOINT and raise RuntimeError if ``max_iter`` rounds
+    pass without converging (r2 silently returned partial labels —
+    downstream dedup would then keep extra near-dup representatives).
+    ``localCheckpoint`` truncates lineage each round."""
+    if algorithm == "star":
+        return _cc_two_phase(pairs, max_iter)
+    return _cc_label_prop(pairs, max_iter)
+
+
+def _cc_label_prop(pairs: DataFrame, max_iter: int) -> DataFrame:
     edges = (
         pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .unionByName(
@@ -499,6 +553,7 @@ def connected_components(
         .withColumn("label", F.col("id"))
         .localCheckpoint()
     )
+    changed = 1
     for _ in range(max_iter):
         neigh = (
             edges.join(labels, edges["src"] == labels["id"])
@@ -523,7 +578,92 @@ def connected_components(
         labels = new
         if changed == 0:
             break
-    return labels.select(F.col("id").alias("docid"), F.col("label").alias("cluster"))
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components(label) did not converge in {max_iter} "
+            "rounds — component diameter exceeds the budget; use "
+            "algorithm='star' (O(log n) rounds) or raise max_iter"
+        )
+    return labels.select(
+        F.col("id").alias("docid"), F.col("label").alias("cluster")
+    )
+
+
+def _cc_two_phase(pairs: DataFrame, max_iter: int) -> DataFrame:
+    """Large-star/small-star alternation. State = a directed edge set;
+    at the fixpoint it is exactly {(v, min-of-component(v))} for every
+    non-root vertex — a forest of depth-1 stars.
+
+    large-star: per center u over its undirected neighbourhood Γ(u),
+    m = min(Γ(u) ∪ {u}); emit (v, m) for v ∈ Γ(u), v > u. All output
+    edges point strictly downhill (larger → smaller id).
+    small-star: per center u over its downhill neighbours N(u) (all
+    v < u after large-star), m = min(N(u)); emit (u, m) and (v, m) for
+    the other v ∈ N(u). Neither phase needs a collect_list — both are
+    min-aggregations + joins, so a high-degree hub never materializes
+    its neighbour set in one task."""
+    vertices = (
+        pairs.select(F.col("a").alias("id"))
+        .unionByName(pairs.select(F.col("b").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    e = (
+        pairs.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        # --- large-star over the symmetric closure
+        und = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).distinct()
+        mins = und.groupBy("u").agg(F.min("v").alias("mn"))
+        ls = (
+            und.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(
+                F.col("v").alias("u"),
+                F.least(F.col("mn"), F.col("u")).alias("v"),
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # --- small-star over the downhill edges
+        smins = ls.groupBy("u").agg(F.min("v").alias("m"))
+        ss_others = (
+            ls.join(smins, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        ss_self = smins.select("u", F.col("m").alias("v"))
+        new = (
+            ss_others.unionByName(ss_self)
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        stable = (
+            new.exceptAll(e).limit(1).count() == 0
+            and e.exceptAll(new).limit(1).count() == 0
+        )
+        e = new
+        if stable:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components(star) did not converge in {max_iter} "
+            "rounds (expected O(log n)) — graph state is oscillating; "
+            "raise max_iter"
+        )
+    return (
+        vertices.join(e, vertices["id"] == e["u"], "left")
+        .select(
+            F.col("id").alias("docid"),
+            F.coalesce(F.col("v"), F.col("id")).alias("cluster"),
+        )
+    )
 
 
 def dedup_clusters(

@@ -1,0 +1,215 @@
+"""PageRank over a link graph, as iterative DataFrame jobs.
+
+Re-expresses the reference's iterative link-graph rank
+(/root/reference/src/cis5550/jobs/PageRank.java:223-449: per-url state
+string "curRank,prevRank,links...", join-transfer-aggregate loop over KVS
+tables with a convergence table) Spark-first:
+
+* edges are a real ``(src, dst)`` DataFrame — no string-encoded state;
+* each iteration is ONE keyed shuffle: contributions =
+  ``edges ⋈ ranks`` grouped by ``dst`` with map-side partial sums
+  (the reference's `transfer` table join, PageRank.java:344-371);
+* out-degrees are folded into the edge relation ONCE up front
+  (``weight = 1/outdeg``), so the loop joins a static weighted edge table
+  against a rank table keyed the same way — at scale both sides hash-
+  partition on ``src`` and the exchange is reused across iterations;
+* ``localCheckpoint`` truncates lineage per iteration (the reference's
+  eager KVS materialization gave it this for free);
+* convergence: fixed iteration count (mirrorable in SQL) or a driver-side
+  max-delta check like the reference's `convergence` table
+  (PageRank.java:388-425).
+
+Semantics follow the reference ranker: init rank 1.0, update
+``rank(v) = (1-d) + d * Σ_{u→v} rank(u)/outdeg(u)`` (classic
+unnormalized PageRank; damping d = 0.85, PageRank.java:253-260, 355-369).
+Dangling nodes (no outlinks) simply leak mass, exactly as the reference's
+transfer phase does — enable ``redistribute_dangling`` for the
+mass-conserving variant.
+
+HTML outlink extraction (the Crawler's URL harvest,
+/root/reference/src/cis5550/jobs/Crawler.java:560-650) is a JVM-side
+``regexp_extract_all`` over the anchor tags — no Python in the loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+DAMPING = 0.85
+
+# href capture over anchor tags; mirrors the reference's anchor-scan
+# (Crawler.java:560-584) without the per-char state machine.
+_HREF_RE = r'<a\s+[^>]*href="([^"#]+)"'
+
+
+def outlinks_col(html_col: str | Column) -> Column:
+    """array<string> of raw href targets from anchor tags (JVM regex)."""
+    c = F.col(html_col) if isinstance(html_col, str) else html_col
+    return F.regexp_extract_all(c, F.lit(_HREF_RE), 1)
+
+
+def outlinks(
+    pages: DataFrame, url: str = "url", html: str = "html"
+) -> DataFrame:
+    """(src, dst) edge table from raw pages; html may be binary or string.
+    Self-loops dropped (they only dampen their own rank), duplicates kept
+    out by distinct — matching the reference's per-page link-set semantics
+    (Crawler.java stores the harvested set per page)."""
+    h = F.col(html)
+    htyp = dict(pages.dtypes)[html]
+    if htyp == "binary":
+        h = h.cast("string")
+    return (
+        pages.select(
+            F.col(url).alias("src"), F.explode(outlinks_col(h)).alias("dst")
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    iters: int = 10,
+    damping: float = DAMPING,
+    src: str = "src",
+    dst: str = "dst",
+    redistribute_dangling: bool = False,
+    tol: float | None = None,
+) -> DataFrame:
+    """(id, rank) after ``iters`` rounds (or earlier if ``tol`` is set and
+    max |Δrank| falls below it — the reference's convergence check,
+    PageRank.java:388-425).
+
+    ``nodes`` (one ``id`` column) fixes the vertex universe; default =
+    every endpoint appearing in ``edges``. Sink-only nodes keep receiving
+    rank; source-only nodes settle at ``1 - damping``.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if nodes is None:
+        nodes = (
+            e.select(F.col("src").alias("id"))
+            .unionByName(e.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+    else:
+        nodes = nodes.select(F.col(nodes.columns[0]).alias("id"))
+    nodes = nodes.localCheckpoint()
+    n_nodes = nodes.count()
+    # fold 1/outdeg into the edges once; the loop then only re-joins ranks
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    w_edges = (
+        e.join(deg, "src")
+        .select("src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("w"))
+        .localCheckpoint()
+    )
+    ranks = nodes.withColumn("rank", F.lit(1.0)).localCheckpoint()
+    for _ in range(iters):
+        contribs = (
+            w_edges.join(ranks, w_edges["src"] == ranks["id"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("w")).alias("m"))
+        )
+        base = F.lit(1.0 - damping)
+        if redistribute_dangling:
+            dangling = (
+                ranks.join(deg, ranks["id"] == deg["src"], "left_anti")
+                .agg(F.sum("rank"))
+                .collect()[0][0]
+                or 0.0
+            )
+            base = base + F.lit(damping * dangling / n_nodes)
+        new = (
+            nodes.join(contribs, nodes["id"] == contribs["dst"], "left")
+            .select(
+                "id",
+                (base + F.lit(damping) * F.coalesce("m", F.lit(0.0))).alias(
+                    "rank"
+                ),
+            )
+            .localCheckpoint()
+        )
+        if tol is not None:
+            delta = (
+                new.join(ranks.withColumnRenamed("rank", "prev"), "id")
+                .agg(F.max(F.abs(F.col("rank") - F.col("prev"))))
+                .collect()[0][0]
+            )
+            ranks = new
+            if delta is not None and delta < tol:
+                break
+        else:
+            ranks = new
+    return ranks
+
+
+# ---------------------------------------------------------------------------
+# Deterministic synthetic link graph over a (doc_id) table — the gate shape
+# ---------------------------------------------------------------------------
+
+LINK_PRIMES = (7, 13, 31)
+
+
+def synthetic_edges(
+    docs: DataFrame, n_docs: int, docid: str = "doc_id"
+) -> DataFrame:
+    """(src, dst): doc d links to ``d + 1 + (d*P_j + j) mod (N-1)  (mod N)``
+    for each prime P_j — offset ∈ [1, N-1] guarantees no self-loops and
+    out-degree ≥ 1 (no dangling nodes), so the rank mirror needs no
+    dangling-mass term. Exactly mirrorable in SQL."""
+    d = F.col(docid).cast("bigint")
+    parts = []
+    for j, p in enumerate(LINK_PRIMES):
+        off = (d * p + F.lit(j)) % F.lit(n_docs - 1) + 1
+        parts.append(
+            docs.select(
+                d.alias("src"), ((d + off) % F.lit(n_docs)).alias("dst")
+            )
+        )
+    out = parts[0]
+    for pt in parts[1:]:
+        out = out.unionByName(pt)
+    return out.distinct()
+
+
+def synthetic_edges_sql(table: str = "documents", docid: str = "doc_id") -> str:
+    """DuckDB CTE body producing the same edge relation (needs a scalar
+    ``n`` CTE in scope: ``n AS (SELECT count(*) AS n FROM documents)``)."""
+    parts = []
+    for j, p in enumerate(LINK_PRIMES):
+        parts.append(
+            f"SELECT {docid}::BIGINT AS src, "
+            f"(({docid}::BIGINT + (({docid}::BIGINT * {p} + {j}) % (n.n - 1)) + 1) % n.n)::BIGINT AS dst "
+            f"FROM {table}, n"
+        )
+    return " UNION ".join(parts)
+
+
+def pagerank_sql(
+    iters: int = 10, damping: float = DAMPING, table: str = "documents",
+    docid: str = "doc_id",
+) -> str:
+    """Full DuckDB mirror: synthetic edges + ``iters`` unrolled rank CTEs,
+    final rank rounded to 6 dp (both engines sum ~3 in-contributions per
+    node per round in doubles; the drift stays ~1e-14, far inside 6 dp)."""
+    ctes = [
+        f"n AS (SELECT count(*) AS n FROM {table})",
+        f"edges AS ({synthetic_edges_sql(table, docid)})",
+        "deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src)",
+        f"r0 AS (SELECT {docid}::BIGINT AS id, 1.0::DOUBLE AS rank FROM {table})",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""r{i} AS (
+  SELECT d.{docid}::BIGINT AS id,
+         {1 - damping} + {damping} * coalesce(s.m, 0) AS rank
+  FROM {table} d LEFT JOIN (
+    SELECT e.dst, sum(r.rank / deg.outdeg) AS m
+    FROM edges e JOIN r{i - 1} r ON r.id = e.src JOIN deg ON deg.src = e.src
+    GROUP BY e.dst) s ON s.dst = d.{docid}::BIGINT)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id AS docid, round(rank, 6) AS rank FROM r{iters}"
+    )

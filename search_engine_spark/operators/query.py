@@ -648,6 +648,17 @@ def snippet_sql(
     )
 
 
+TITLE_RE = r"<title>([^<]*)</title>"
+
+
+def title_expr(html_col) -> "F.Column":
+    """<title> extraction (JVM regex) — the reference's titles.table
+    content (frontend/Master.java:52-79 loads url→title extracted from the
+    page head; here it's a column computed at answer-assembly time)."""
+    c = F.col(html_col) if isinstance(html_col, str) else html_col
+    return F.regexp_extract(c, TITLE_RE, 1)
+
+
 def topk_with_urls(
     index: Index,
     corpus: DataFrame,
@@ -656,10 +667,12 @@ def topk_with_urls(
     url_col: str = "url",
     text_col: str = "text",
     snippet_len: int = 120,
+    html_col: str | None = None,
 ) -> DataFrame:
-    """(docid, url, score, snippet) — the user-facing answer the reference
-    frontend returns (url + snippet per hit, frontend/Master.java:203-256;
-    titles dropped: the corpus schema has none).
+    """(docid, url, score[, title], snippet) — the user-facing answer the
+    reference frontend returns (url + title + snippet per hit,
+    frontend/Master.java:203-256). ``html_col`` names a raw-html column in
+    ``corpus``; when given, the page ``<title>`` is extracted per hit.
 
     Scale shape: top-k docids collect to the driver (k rows), then both
     lookups are IN-filtered scans — docs/ is docid-range-sorted parquet so
@@ -682,17 +695,22 @@ def topk_with_urls(
     urls = [r["url"] for r in hits.collect()]
     snip_terms = [t for t, _ in tokenize(query, stem=False, cap=None)
                   if t not in STOPWORDS]
-    body = (
-        corpus.filter(F.col(url_col).isin(urls))
-        .select(
-            F.col(url_col).alias("url"),
-            snippet_expr(snip_terms, text_col, snippet_len).alias("snippet"),
-        )
-    )
+    body_cols = [
+        F.col(url_col).alias("url"),
+        snippet_expr(snip_terms, text_col, snippet_len).alias("snippet"),
+    ]
+    out_cols = ["docid", "url", F.round("score", 6).alias("score"), "snippet"]
+    if html_col is not None:
+        h = F.col(html_col)
+        if dict(corpus.dtypes).get(html_col) == "binary":
+            h = h.cast("string")
+        body_cols.append(title_expr(h).alias("title"))
+        out_cols.append("title")
+    body = corpus.filter(F.col(url_col).isin(urls)).select(*body_cols)
     return (
         sdf.join(F.broadcast(hits), "docid")
         .join(F.broadcast(body), "url")
-        .select("docid", "url", F.round("score", 6).alias("score"), "snippet")
+        .select(*out_cols)
         .orderBy(F.col("score").desc(), F.col("docid").asc())
     )
 

@@ -122,7 +122,7 @@ def cosine_near_pairs_lsh(
     emb: DataFrame,
     threshold: float,
     dim: int,
-    n_planes: int = 8,
+    n_planes: int = 32,
     max_hamming: int = 2,
     vec_id: str = "vec_id",
     vec: str = "embedding",
@@ -133,7 +133,13 @@ def cosine_near_pairs_lsh(
     within that signature hamming distance), verified by EXACT cosine ≥
     threshold. Precision is exact; recall is the standard LSH trade
     (pairs whose signatures differ in > max_hamming bits are missed) and
-    rises with n_planes/max_hamming. Cost ∝ bucket sizes, not corpus²."""
+    rises with n_planes/max_hamming. Cost ∝ bucket sizes, not corpus².
+
+    Default n_planes=32 (signatures are cheap: one dot per plane) so the
+    default band keys are 10-12 bits wide — r2's n_planes=8 default gave
+    2-4-bit bands = 4-16 buckets per band, which degenerates toward the
+    cartesian join at corpus scale. Keep ``n_planes // (max_hamming+1)``
+    ≥ 8 bits when tuning."""
     sigs = lsh_signature(emb, dim, n_planes, vec_id, vec)
     nbands = max_hamming + 1
     width = max(1, n_planes // nbands)
@@ -256,6 +262,12 @@ def _ivf_cell_col(
     return (-best.getField("negid")).cast("int")
 
 
+# Above this pivot count the nested greatest(struct(cos,…)) expression —
+# k inlined cosines in ONE projection — blows up codegen; the broadcast
+# join + max-struct aggregation below scales to thousands of cells.
+IVF_CODEGEN_MAX_PIVOTS = 64
+
+
 def ivf_assign(
     emb: DataFrame,
     pivots: list[tuple[int, list[float]]],
@@ -266,10 +278,33 @@ def ivf_assign(
 
     Pivots are (cell_id, vector) — at scale they come from
     :func:`kmeans_pivots`; any deterministic pivot set works (e.g. first C
-    vectors)."""
-    return emb.select(
-        F.col(vec_id).alias("vec_id"),
-        _ivf_cell_col(F.col(vec), pivots).alias("cell"),
+    vectors). Small pivot sets inline the argmax as one codegen'd
+    expression; larger ones broadcast the pivot table and reduce with a
+    max-of-struct aggregation (identical tie-break: lowest cell id), so
+    IVF cell counts in the thousands stay off the codegen cliff."""
+    if len(pivots) <= IVF_CODEGEN_MAX_PIVOTS:
+        return emb.select(
+            F.col(vec_id).alias("vec_id"),
+            _ivf_cell_col(F.col(vec), pivots).alias("cell"),
+        )
+    spark = emb.sparkSession
+    pv = spark.createDataFrame(
+        [(int(cid), [float(x) for x in v]) for cid, v in pivots],
+        "cid int, pv array<double>",
+    )
+    scored = (
+        emb.select(F.col(vec_id).alias("vec_id"), F.col(vec).alias("v"))
+        .crossJoin(F.broadcast(pv))
+        .select(
+            "vec_id",
+            F.struct(
+                cosine_col(F.col("v"), F.col("pv")).alias("cos"),
+                (-F.col("cid")).alias("negid"),
+            ).alias("cand"),
+        )
+    )
+    return scored.groupBy("vec_id").agg(
+        (-F.max("cand").getField("negid")).cast("int").alias("cell")
     )
 
 

@@ -62,9 +62,22 @@ def widen_small_input(df, min_ratio: int = 2):
     round-robin repartition to default parallelism; at real scale the
     input has splits >> cores and this is a no-op (no shuffle inserted).
     Only order-insensitive consumers (keyed aggregations) may rely on it.
+
+    Streaming DataFrames pass through untouched (``df.rdd`` would throw).
+    The many-files fast path skips the RDD-conversion probe entirely —
+    at scale the scan always has splits >> cores, so the (mildly
+    expensive) ``df.rdd.getNumPartitions()`` analysis only ever runs for
+    genuinely tiny local inputs.
     """
+    if df.isStreaming:
+        return df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
+    try:
+        if len(df.inputFiles()) * min_ratio >= target:
+            return df
+    except Exception:
+        pass
     if df.rdd.getNumPartitions() * min_ratio < target:
         return df.repartition(target)
     return df

@@ -1,0 +1,93 @@
+"""PageRank: reference-semantics rank loop + link extraction.
+
+Reference parity target: jobs/PageRank.java:223-449 — classic damped
+update rank = 0.15 + 0.85·Σ contrib, init 1.0, convergence on max delta.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.operators import pagerank as PR
+
+
+def _py_pagerank(edges, iters=10, damping=0.85, nodes=None):
+    """Driver-side mirror: classic unnormalized PageRank."""
+    if nodes is None:
+        nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    out = {}
+    for u, v in edges:
+        out.setdefault(u, []).append(v)
+    rank = {n: 1.0 for n in nodes}
+    for _ in range(iters):
+        contrib = {n: 0.0 for n in nodes}
+        for u, targets in out.items():
+            share = rank[u] / len(targets)
+            for v in targets:
+                contrib[v] += share
+        rank = {n: (1 - damping) + damping * contrib[n] for n in nodes}
+    return rank
+
+
+def test_symmetric_cycle_stays_uniform(spark):
+    edges = [(0, 1), (1, 2), (2, 0)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["id"]: r["rank"] for r in PR.pagerank(df, iters=5).collect()}
+    assert got == pytest.approx({0: 1.0, 1: 1.0, 2: 1.0})
+
+
+def test_matches_python_mirror(spark):
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (3, 0), (1, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["id"]: r["rank"] for r in PR.pagerank(df, iters=10).collect()}
+    want = _py_pagerank(edges, iters=10)
+    assert got == pytest.approx(want, rel=1e-9)
+
+
+def test_source_only_node_settles_at_one_minus_d(spark):
+    edges = [(5, 1), (1, 2), (2, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["id"]: r["rank"] for r in PR.pagerank(df, iters=20).collect()}
+    assert got[5] == pytest.approx(0.15)
+
+
+def test_dangling_redistribution_conserves_mass(spark):
+    # node 2 has no outlinks: without redistribution mass leaks; with it,
+    # total rank stays == n_nodes every round.
+    edges = [(0, 1), (0, 2), (1, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = PR.pagerank(df, iters=15, redistribute_dangling=True)
+    total = out.agg(F.sum("rank")).collect()[0][0]
+    assert total == pytest.approx(3.0, rel=1e-9)
+
+
+def test_tol_early_exit_matches_fixed_iters(spark):
+    edges = [(0, 1), (1, 0), (1, 2), (2, 0)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    a = {r["id"]: r["rank"]
+         for r in PR.pagerank(df, iters=200, tol=1e-12).collect()}
+    b = {r["id"]: r["rank"] for r in PR.pagerank(df, iters=60).collect()}
+    assert a == pytest.approx(b, abs=1e-9)
+
+
+def test_outlinks_from_corpus_html(spark):
+    from search_engine_spark.corpus import gen_pages_df
+
+    pages = gen_pages_df(spark, 40)
+    edges = PR.outlinks(pages)
+    rows = edges.collect()
+    assert rows, "synthetic corpus pages embed one anchor each"
+    for r in rows:
+        assert r["src"] != r["dst"]
+        assert r["dst"].startswith("http://site")
+    # every page has exactly one anchor → edges ≤ pages, > 0
+    assert 0 < len(rows) <= 40
+
+
+def test_synthetic_edges_no_self_loops_no_dangling(spark):
+    docs = spark.range(0, 97).withColumnRenamed("id", "doc_id")
+    e = PR.synthetic_edges(docs, 97)
+    assert e.filter(F.col("src") == F.col("dst")).count() == 0
+    assert e.select("src").distinct().count() == 97  # outdeg ≥ 1 everywhere
+    assert e.count() <= 3 * 97

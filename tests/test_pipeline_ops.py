@@ -155,18 +155,26 @@ def test_lsh_finds_dup_pairs(spark, docs):
 
 
 def test_simhash_matches_python(spark, docs):
-    got = {r["docid"]: r["simhash"] for r in D.simhash(docs).collect()}
+    got = {
+        r["docid"]: (r["sim_lo"], r["sim_hi"])
+        for r in D.simhash(docs).collect()
+    }
 
     def py_simhash(text):
         from collections import Counter
 
+        from search_engine_spark.functions.hashing import md5_int32_hi_py
+
         tf = Counter(text.split())
-        bits = [0] * 32
+        bits = [0] * 64
         for term, n in tf.items():
-            h = md5_int32_py(term)
-            for b in range(32):
-                bits[b] += n if (h >> b) & 1 else -n
-        return sum(1 << b for b in range(32) if bits[b] > 0)
+            hlo, hhi = md5_int32_py(term), md5_int32_hi_py(term)
+            for b in range(64):
+                h = hlo if b < 32 else hhi
+                bits[b] += n if (h >> (b % 32)) & 1 else -n
+        lo = sum(1 << b for b in range(32) if bits[b] > 0)
+        hi = sum(1 << (b - 32) for b in range(32, 64) if bits[b] > 0)
+        return (lo, hi)
 
     for did, text in [
         (0, "the quick brown fox jumps over the lazy dog"),
@@ -513,10 +521,39 @@ def test_connected_components_transitive_chains(spark):
          (20, 21)],
         "a long, b long",
     )
+    for algo in ("star", "label"):
+        got = {r["docid"]: r["cluster"]
+               for r in D.connected_components(pairs, algorithm=algo).collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                       10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_long_chain_star(spark):
+    """A 60-link chain: label propagation needs O(diameter)=60 rounds and
+    must RAISE at a 10-round budget (r2 silently returned partial labels);
+    the large-star/small-star path converges in O(log n) rounds."""
+    n = 61
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "a long, b long"
+    )
     got = {r["docid"]: r["cluster"]
-           for r in D.connected_components(pairs).collect()}
-    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
-                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+           for r in D.connected_components(pairs, max_iter=10).collect()}
+    assert got == {i: 0 for i in range(n)}
+    with pytest.raises(RuntimeError, match="did not converge"):
+        D.connected_components(pairs, max_iter=10, algorithm="label")
+
+
+def test_connected_components_star_equals_label_random(spark):
+    """Property: both algorithms agree on a pseudo-random multi-component
+    graph (deterministic edge rule)."""
+    edges = [((i * 7919) % 200, (i * 104729 + 13) % 200) for i in range(90)]
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, "a long, b long")
+    star = {r["docid"]: r["cluster"]
+            for r in D.connected_components(pairs, algorithm="star").collect()}
+    label = {r["docid"]: r["cluster"]
+             for r in D.connected_components(pairs, algorithm="label").collect()}
+    assert star == label
 
 
 def test_dedup_clusters_singletons_and_dups(spark, docs):

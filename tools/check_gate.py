@@ -65,16 +65,30 @@ def norm_rows(cols, rows):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    # --extra: check the extra_queries() registry (single-operator
+    # variants folded out of the 50-entry driver registry) instead;
+    # --all: both registries.
+    argv = [a for a in sys.argv[1:]]
+    use_extra = "--extra" in argv
+    use_all = "--all" in argv
+    argv = [a for a in argv if a not in ("--extra", "--all")]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
     spark = get_spark(app_name="gate-check", cores=8, shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
-    qs = E.queries()
-    oracles = E.oracle_sql()
+    if use_all:
+        qs = {**E.queries(), **E.extra_queries()}
+        oracles = {**E.oracle_sql(), **E.extra_oracle_sql()}
+    elif use_extra:
+        qs = E.extra_queries()
+        oracles = E.extra_oracle_sql()
+    else:
+        qs = E.queries()
+        oracles = E.oracle_sql()
     n_pass = n_fail = n_rowsonly = 0
     for name, fn in qs.items():
         if only and name not in only:
