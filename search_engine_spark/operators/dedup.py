@@ -312,7 +312,12 @@ def lsh_candidate_pairs(
 
     Signature matrix banded r = k/bands rows per band; band key is the
     struct of its minhashes → self-join per band → distinct pairs. This is
-    the scale path: cost ∝ bucket sizes, not corpus²."""
+    the scale path: cost ∝ bucket sizes, not corpus².
+
+    Signatures are localCheckpoint'ed first — the banded union references
+    them 2·bands times and would re-run the shingle+minhash pipeline per
+    reference otherwise; the materialized form is k+1 longs per doc."""
+    sigs = sigs.localCheckpoint()
     r = num_hashes // bands
     parts = []
     for b in range(bands):
@@ -396,28 +401,30 @@ def simhash(
     """(docid, sim_lo, sim_hi) — 64-bit tf-weighted SimHash (Charikar
     2002) as two non-negative 32-bit halves.
 
-    Plan: explode tokens → per-(doc,term) tf → ONE md5 per term yields
-    both 32-bit half-hashes → ONE wide aggregation per doc with 65 sum
-    columns (Σtf·bit_j for each j, plus Σtf). The signed per-bit sum is
-    2·Σtf·bit_j − Σtf, so bit j is set iff 2·s_j > Σtf. No per-bit row
-    explosion (the r1/r2 plan exploded 32 rows per (doc,term) — 64 bits
-    would have doubled that); two keyed shuffles total, both with
-    map-side partial aggregation."""
+    Plan: explode tokens → ONE md5 per occurrence yields both 32-bit
+    half-hashes → ONE wide aggregation per doc with 65 sum columns
+    (Σ bit_j over occurrences for each j, plus the occurrence count).
+    tf-weighting is free: Σ_terms tf·bit_j ≡ Σ_occurrences bit_j. The
+    signed per-bit sum is 2·s_j − total, so bit j is set iff
+    2·s_j > total. ONE keyed shuffle with map-side partial aggregation —
+    no per-(doc,term) tf stage (r2 shuffled twice) and no per-bit row
+    explosion (r1/r2 exploded 32 rows per term)."""
     df = widen_small_input(df)
-    tf = (
-        df.select(F.col(docid).alias("docid"), F.explode(tokens_col(text)).alias("term"))
-        .groupBy("docid", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .withColumn("hlo", md5_int32(F.col("term")))
-        .withColumn("hhi", md5_int32_hi(F.col("term")))
+    occ = df.select(
+        F.col(docid).alias("docid"),
+        F.explode(tokens_col(text)).alias("term"),
+    ).select(
+        "docid",
+        md5_int32(F.col("term")).alias("hlo"),
+        md5_int32_hi(F.col("term")).alias("hhi"),
     )
     aggs = []
     for b in range(SIMHASH_BITS):
         h = F.col("hlo") if b < 32 else F.col("hhi")
         bit = F.shiftright(h, b % 32).bitwiseAND(F.lit(1))
-        aggs.append(F.sum(F.col("tf") * bit).alias(f"s{b}"))
-    aggs.append(F.sum("tf").alias("stot"))
-    wide = tf.groupBy("docid").agg(*aggs)
+        aggs.append(F.sum(bit).alias(f"s{b}"))
+    aggs.append(F.count(F.lit(1)).alias("stot"))
+    wide = occ.groupBy("docid").agg(*aggs)
     lo = F.lit(0).cast("long")
     hi = F.lit(0).cast("long")
     for b in range(32):
@@ -461,8 +468,13 @@ def simhash_near_pairs(
     Scale path: split the 64-bit signature into (max_hamming+1) bit-bands
     — any pair within distance r agrees exactly on ≥1 band (pigeonhole) —
     bucket-join per band, then verify with bit_count(xor) over both
-    halves. Default r=3 → 4 bands × 16 bits = 65,536 buckets per band."""
-    sigs = simhash(df, docid, text)
+    halves. Default r=3 → 4 bands × 16 bits = 65,536 buckets per band.
+
+    The signature table is localCheckpoint'ed first: the banded union
+    references it 2(r+1) times (bands × join sides) and would otherwise
+    re-run the whole signature pipeline per reference (~8× at r=3); the
+    materialized form is only 3 longs per doc."""
+    sigs = simhash(df, docid, text).localCheckpoint()
     nbands = max_hamming + 1
     width = SIMHASH_BITS // nbands
     parts = []
@@ -533,7 +545,13 @@ def connected_components(
     Both run to FIXPOINT and raise RuntimeError if ``max_iter`` rounds
     pass without converging (r2 silently returned partial labels —
     downstream dedup would then keep extra near-dup representatives).
-    ``localCheckpoint`` truncates lineage each round."""
+    ``localCheckpoint`` truncates lineage each round.
+
+    ``pairs`` is materialized up front: both algorithms derive several
+    relations from it (vertices + symmetric edges) and an expensive
+    upstream pair pipeline (LSH + exact verify) would re-run per
+    derivation otherwise. Dup pairs are small relative to the corpus."""
+    pairs = pairs.localCheckpoint()
     if algorithm == "star":
         return _cc_two_phase(pairs, max_iter)
     return _cc_label_prop(pairs, max_iter)
@@ -587,6 +605,16 @@ def _cc_label_prop(pairs: DataFrame, max_iter: int) -> DataFrame:
     return labels.select(
         F.col("id").alias("docid"), F.col("label").alias("cluster")
     )
+
+
+def _edge_fingerprint(e: DataFrame) -> tuple:
+    """(count, XOR of xxhash64(u,v)) — order-independent content digest
+    of an edge set (sets are distinct()-ed, so XOR never self-cancels);
+    unequal fingerprints prove the sets differ without a join."""
+    row = e.agg(
+        F.count(F.lit(1)), F.expr("bit_xor(xxhash64(u, v))")
+    ).collect()[0]
+    return (row[0], row[1])
 
 
 def _cc_two_phase(pairs: DataFrame, max_iter: int) -> DataFrame:
@@ -644,9 +672,10 @@ def _cc_two_phase(pairs: DataFrame, max_iter: int) -> DataFrame:
             .distinct()
             .localCheckpoint()
         )
-        stable = (
-            new.exceptAll(e).limit(1).count() == 0
-            and e.exceptAll(new).limit(1).count() == 0
+        # cheap order-independent fingerprint first; only a fingerprint
+        # match pays for the exact set-equality confirmation
+        stable = _edge_fingerprint(new) == _edge_fingerprint(e) and (
+            new.exceptAll(e).unionAll(e.exceptAll(new)).limit(1).count() == 0
         )
         e = new
         if stable:

@@ -77,6 +77,7 @@ def pagerank(
     dst: str = "dst",
     redistribute_dangling: bool = False,
     tol: float | None = None,
+    checkpoint_every: int = 5,
 ) -> DataFrame:
     """(id, rank) after ``iters`` rounds (or earlier if ``tol`` is set and
     max |Δrank| falls below it — the reference's convergence check,
@@ -85,6 +86,13 @@ def pagerank(
     ``nodes`` (one ``id`` column) fixes the vertex universe; default =
     every endpoint appearing in ``edges``. Sink-only nodes keep receiving
     rank; source-only nodes settle at ``1 - damping``.
+
+    Iterations build ONE lazy plan (each round = two chained shuffle
+    stages inside a single job) — the reference materialized a KVS table
+    per round by construction; here only every ``checkpoint_every``-th
+    round localCheckpoints to bound lineage depth. The per-round paths
+    that must observe intermediate ranks (``tol``,
+    ``redistribute_dangling``) force a checkpoint each round.
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     if nodes is None:
@@ -104,8 +112,9 @@ def pagerank(
         .select("src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("w"))
         .localCheckpoint()
     )
-    ranks = nodes.withColumn("rank", F.lit(1.0)).localCheckpoint()
-    for _ in range(iters):
+    eager = tol is not None or redistribute_dangling
+    ranks = nodes.withColumn("rank", F.lit(1.0))
+    for it in range(1, iters + 1):
         contribs = (
             w_edges.join(ranks, w_edges["src"] == ranks["id"])
             .groupBy("dst")
@@ -128,8 +137,9 @@ def pagerank(
                     "rank"
                 ),
             )
-            .localCheckpoint()
         )
+        if eager or it % checkpoint_every == 0:
+            new = new.localCheckpoint()
         if tol is not None:
             delta = (
                 new.join(ranks.withColumnRenamed("rank", "prev"), "id")

@@ -139,8 +139,9 @@ def cosine_near_pairs_lsh(
     default band keys are 10-12 bits wide — r2's n_planes=8 default gave
     2-4-bit bands = 4-16 buckets per band, which degenerates toward the
     cartesian join at corpus scale. Keep ``n_planes // (max_hamming+1)``
-    ≥ 8 bits when tuning."""
-    sigs = lsh_signature(emb, dim, n_planes, vec_id, vec)
+    ≥ 8 bits when tuning. Signatures are localCheckpoint'ed: the banded
+    union references them 2(max_hamming+1) times."""
+    sigs = lsh_signature(emb, dim, n_planes, vec_id, vec).localCheckpoint()
     nbands = max_hamming + 1
     width = max(1, n_planes // nbands)
     parts = []
