@@ -52,7 +52,7 @@ def main() -> None:
         results = [(desc, pred(p)) for desc, pred in checks]
         sections.append((name, p, results))
 
-    qs = E.queries()
+    qs = {**E.queries(), **E.extra_queries()}
 
     # 1. index term lookup: filter pushdown + column pruning
     idx = E._cached_index(spark, sf_dir)
@@ -110,6 +110,45 @@ def main() -> None:
         [
             ("partial/final hash aggregation", lambda p: "HashAggregate" in p),
             ("whole-stage codegen", lambda p: "WholeStageCodegen" in p or "*(" in p),
+        ],
+    )
+
+    def _formatted_tail(p: str) -> str:
+        # audit() may append the pre-execution formatted plan after the
+        # executed one; count structural nodes in ONE rendering only
+        return p.split("(pre-execution formatted plan)")[-1]
+
+    # 5b. simhash: ONE keyed shuffle (the wide 65-column aggregate)
+    audit(
+        "simhash signatures (one keyed shuffle)",
+        qs["simhash"](spark, sf_dir),
+        [
+            ("exactly one keyed exchange",
+             lambda p: _formatted_tail(p).count("hashpartitioning(") == 1),
+            ("partial/final hash aggregation", lambda p: "HashAggregate" in p),
+        ],
+    )
+
+    # 5c. pagerank rounds: rank tables broadcast into the edge join.
+    # Audit the LAZY chain (checkpoint_every > iters) — the production
+    # default checkpoints the 10th round, which would hide the round plan
+    # behind an ExistingRDD scan.
+    from search_engine_spark.operators import pagerank as PR
+
+    docs_pr = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).select("doc_id")
+    n_pr = docs_pr.count()
+    audit(
+        "pagerank (10 chained lazy rounds)",
+        PR.pagerank(
+            PR.synthetic_edges(docs_pr, n_pr), nodes=docs_pr, iters=10,
+            checkpoint_every=99,
+        ),
+        [
+            ("broadcast joins inside rounds",
+             lambda p: "BroadcastHashJoin" in p),
+            ("partial/final hash aggregation", lambda p: "HashAggregate" in p),
         ],
     )
 
