@@ -696,6 +696,16 @@ def q_simhash_near_pairs(spark, sf_dir):
     return D.simhash_near_pairs(_docs(spark, sf_dir), max_hamming=3)
 
 
+def q_contamination(spark, sf_dir):
+    """Benchmark decontamination: distinct shared token 3-grams between
+    each corpus doc and each probe ('benchmark') doc — probe set = every
+    83rd doc, broadcast into a map-side hash join."""
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 83 != 0)
+    probes = docs.filter(F.col("doc_id") % 83 == 0)
+    return D.contamination(corpus, probes, n=3)
+
+
 def q_pagerank(spark, sf_dir):
     """T10 PageRank (jobs/PageRank.java:223-449): 10 rounds of the classic
     damped update over a deterministic synthetic link graph (testdata has
@@ -858,6 +868,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "media_decode": q_media_decode,
         "media_resize": q_media_resize,
+        "contamination": q_contamination,
     }
 
 
@@ -1611,6 +1622,23 @@ SELECT 'ivf' AS method, vec_id, cos FROM ({sqls["ivf_topk"]})
     from search_engine_spark.operators.pagerank import pagerank_sql
 
     sqls["pagerank"] = pagerank_sql(iters=10)
+
+    from search_engine_spark.functions.hashing import md5_int_sql
+
+    sqls["contamination"] = f"""
+WITH {TOKS_CTE},
+sh AS (
+  SELECT DISTINCT docid,
+         array_to_string(toks[g.i : g.i + 2], ' ') AS shingle
+  FROM toks, unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS g(i)
+),
+shh AS (SELECT docid, {md5_int_sql("shingle")} AS h FROM sh),
+c AS (SELECT docid, h FROM shh WHERE docid % 83 <> 0),
+p AS (SELECT docid AS probe_id, h FROM shh WHERE docid % 83 = 0)
+SELECT c.docid, p.probe_id, count(*) AS n_shared
+FROM c JOIN p USING (h)
+GROUP BY c.docid, p.probe_id
+"""
 
     sqls["doc_signatures"] = f"""
 WITH {TOKS_CTE},

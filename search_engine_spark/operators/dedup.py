@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from search_engine_spark.functions.hashing import (
+    md5_int,
     md5_int32,
     md5_int32_hi,
     md5_two_hash_cols,
@@ -277,6 +278,66 @@ def _jaccard_inverted(
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (cross-corpus n-gram overlap)
+# ---------------------------------------------------------------------------
+
+def contamination(
+    corpus: DataFrame,
+    probes: DataFrame,
+    n: int = 13,
+    docid: str = "doc_id",
+    text: str = "text",
+    probe_id: str = "doc_id",
+    probe_text: str = "text",
+    broadcast_probes: bool = True,
+) -> DataFrame:
+    """(docid, probe_id, n_shared) — training-data decontamination: for
+    every corpus document, the count of DISTINCT token n-grams it shares
+    with each probe (benchmark/eval) document. Default n=13 follows the
+    convention popularized by GPT-3's 13-gram decontamination.
+
+    Scale shape: the probe side (eval suites) is small by contract →
+    broadcast hash join, so the corpus side streams map-side with NO
+    shuffle of corpus shingles; the join key is the 60-bit md5 shingle
+    hash (one long, not the n-token string). Both engines hash
+    identically, so the result is oracle-mirrorable including any
+    (negligible, 2^-60) collision behavior."""
+    cs = shingles(corpus, docid, text, n).select(
+        "docid", md5_int(F.col("shingle")).alias("h")
+    )
+    ps = shingles(probes, probe_id, probe_text, n).select(
+        F.col("docid").alias("probe_id"), md5_int(F.col("shingle")).alias("h")
+    )
+    if broadcast_probes:
+        ps = F.broadcast(ps)
+    return (
+        cs.join(ps, "h")
+        .groupBy("docid", "probe_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    probes: DataFrame,
+    n: int = 13,
+    min_shared: int = 1,
+    docid: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """The cleaned corpus: drop every document sharing ≥ ``min_shared``
+    n-grams with ANY probe document (left_anti on the contamination
+    relation)."""
+    hits = (
+        contamination(corpus, probes, n, docid, text)
+        .filter(F.col("n_shared") >= min_shared)
+        .select(F.col("docid").alias(docid))
+        .distinct()
+    )
+    return corpus.join(hits, docid, "left_anti")
 
 
 # ---------------------------------------------------------------------------

@@ -334,13 +334,29 @@ def kmeans_pivots(
     }
     for _ in range(iters):
         pivots = sorted(cents.items())
-        # two-step select: posexplode's multi-alias in the same projection
-        # as the greatest-of-struct argmax breaks struct field resolution
-        stats = (
-            emb.select(
+        if len(pivots) <= IVF_CODEGEN_MAX_PIVOTS:
+            # two-step select: posexplode's multi-alias in the same
+            # projection as the greatest-of-struct argmax breaks struct
+            # field resolution
+            assigned = emb.select(
                 _ivf_cell_col(F.col(vec), pivots).alias("cell"),
                 F.col(vec).alias("v"),
             )
+        else:
+            # thousands of cells: same broadcast-join argmax as
+            # ivf_assign — keeps the assignment off the codegen cliff
+            assigned = (
+                ivf_assign(emb, pivots, vec_id, vec)
+                .join(
+                    emb.select(
+                        F.col(vec_id).alias("vec_id"), F.col(vec).alias("v")
+                    ),
+                    "vec_id",
+                )
+                .select("cell", "v")
+            )
+        stats = (
+            assigned
             .select("cell", F.posexplode("v").alias("pos", "val"))
             .groupBy("cell", "pos")
             .agg(F.sum(F.col("val").cast("double")).alias("s"),

@@ -30,6 +30,27 @@ def docs(spark):
     return spark.createDataFrame(rows, "doc_id long, text string")
 
 
+def test_contamination_and_decontaminate(spark, docs):
+    """Probe doc 0 overlaps docs 1 and 3 heavily (shared 3-grams); doc 2
+    shares none. decontaminate drops exactly the overlapping docs."""
+    probes = docs.filter("doc_id = 0")
+    corpus = docs.filter("doc_id != 0")
+    hits = {(r["docid"], r["probe_id"]): r["n_shared"]
+            for r in D.contamination(corpus, probes, n=3).collect()}
+    assert hits[(3, 0)] == 7        # exact dup: all 7 3-grams shared
+    assert hits[(1, 0)] == 6        # near dup: all but the last 3-gram
+    assert (2, 0) not in hits
+    clean = sorted(r["doc_id"]
+                   for r in D.decontaminate(corpus, probes, n=3).collect())
+    assert clean == [2, 4, 5]
+    # thresholded variant keeps the near-dup if the bar is above its overlap
+    loose = sorted(
+        r["doc_id"]
+        for r in D.decontaminate(corpus, probes, n=3, min_shared=7).collect()
+    )
+    assert loose == [1, 2, 4, 5]
+
+
 def test_exact_dedup(spark, docs):
     groups = {
         r["keep_docid"]: r["n_dupes"]
@@ -292,6 +313,21 @@ def test_ivf_probes_only_cells(spark, emb):
     assigned = S.ivf_assign(emb, pivots)
     n_cells = assigned.select("cell").distinct().count()
     assert 1 < n_cells <= 4
+
+
+def test_ivf_assign_join_path_equals_inline(spark, emb, monkeypatch):
+    """The broadcast-join argmax (used above IVF_CODEGEN_MAX_PIVOTS, where
+    the inlined greatest-of-struct would blow up codegen) must assign the
+    identical cells — including the lowest-cell-id tie-break — and feed
+    kmeans_pivots identically."""
+    rows = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    pivots = [(i, [float(x) for x in rows[i]]) for i in range(6)]
+    inline = {r["vec_id"]: r["cell"] for r in S.ivf_assign(emb, pivots).collect()}
+    k_inline = S.kmeans_pivots(emb, k=4, iters=2)
+    monkeypatch.setattr(S, "IVF_CODEGEN_MAX_PIVOTS", 1)
+    joined = {r["vec_id"]: r["cell"] for r in S.ivf_assign(emb, pivots).collect()}
+    assert inline == joined
+    assert S.kmeans_pivots(emb, k=4, iters=2) == k_inline
 
 
 def test_kmeans_pivots_deterministic_and_improving(spark, emb):
