@@ -184,6 +184,26 @@ def q_bm25_index_all(spark, sf_dir):
     return out.select("docid", F.round("score", 6).alias("score"))
 
 
+def q_bm25_index_topk20(spark, sf_dir):
+    """Unpruned distributed top-k at k=20 (bench twin of the pruned plan)."""
+    idx = _cached_index(spark, sf_dir)
+    out = IQ.topk_distributed(idx, "spark table join", k=20)
+    return out.select("docid", F.round("score", 6).alias("score"))
+
+
+def q_bm25_index_pruned(spark, sf_dir):
+    """Block-max-pruned distributed top-k (3-phase exact plan): block
+    bytes of provably-sub-threshold blocks are never read. Same oracle as
+    the unpruned twin — the pruning is exact. min_blocks=0 forces the
+    3-phase path at gate scale (the adaptive default would bail out to
+    the plain plan on an index this small)."""
+    idx = _cached_index(spark, sf_dir)
+    out = IQ.topk_distributed_pruned(
+        idx, "spark table join", k=20, min_blocks=0
+    )
+    return out.select("docid", F.round("score", 6).alias("score"))
+
+
 BATCH_QUERIES = {0: "spark table join", 1: "window", 2: "customer stream vector"}
 
 
@@ -869,6 +889,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode": q_media_decode,
         "media_resize": q_media_resize,
         "contamination": q_contamination,
+        "bm25_index_topk20": q_bm25_index_topk20,
+        "bm25_index_pruned": q_bm25_index_pruned,
     }
 
 
@@ -1149,6 +1171,8 @@ FROM d, n
     sqls["bm25_single"] = T.bm25_topk_sql_oracle("window", k=20)
     sqls["bm25_rare"] = T.bm25_topk_sql_oracle("customer stream vector", k=15)
     sqls["bm25_index_all"] = T.bm25_topk_sql_oracle("spark table join", k=10_000)
+    sqls["bm25_index_topk20"] = T.bm25_topk_sql_oracle("spark table join", k=20)
+    sqls["bm25_index_pruned"] = T.bm25_topk_sql_oracle("spark table join", k=20)
     # segment search ≡ global BM25 by construction (global stats recomputed
     # over the level set) — the oracle is the plain global-BM25 mirror
     sqls["segments_topk"] = T.bm25_topk_sql_oracle("spark table join", k=20)

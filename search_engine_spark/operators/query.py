@@ -155,6 +155,297 @@ def topk_distributed(index: Index, query: str, k: int = 100) -> DataFrame:
     return scored.orderBy(F.col("score").desc(), F.col("docid").asc()).limit(k)
 
 
+def _decode_rows_idf_term(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """(term, block, idf) batches → (term, docid, tf, dl, idf) rows —
+    the term column rides along so downstream can track which terms
+    contributed to a doc's partial score."""
+    for pdf in batches:
+        t_out, d_l, t_l, l_l, i_l = [], [], [], [], []
+        for term, blob, idf in zip(pdf["term"], pdf["block"], pdf["idf"]):
+            d, t, dl = decode_block_np(bytes(blob))
+            d_l.append(d)
+            t_l.append(t)
+            l_l.append(dl)
+            i_l.append(np.full(len(d), float(idf)))
+            t_out.append(np.full(len(d), term, dtype=object))
+        if not d_l:
+            continue
+        yield pd.DataFrame(
+            {"term": np.concatenate(t_out),
+             "docid": np.concatenate(d_l),
+             "tf": np.concatenate(t_l),
+             "dl": np.concatenate(l_l),
+             "idf": np.concatenate(i_l)}
+        )
+
+
+BLOCK_KEY = ["term", "bucket", "block_id"]
+
+# Above this many metadata rows the pruned-plan's planning decisions stay
+# distributed; below it they collect to the driver (fewer fixed jobs).
+META_COLLECT_MAX = 20_000
+
+
+def topk_distributed_pruned(
+    index: Index,
+    query: str,
+    k: int = 100,
+    seed_blocks_per_term: int = 2,
+    max_candidates: int = 200_000,
+    min_blocks: int = 256,
+) -> DataFrame:
+    """(docid, score) — EXACT top-k with Block-Max pruning as a
+    distributed plan: the Ding & Suel block-max idea (driver path:
+    ``topk_wand``) restructured into three bulk phases so block skipping
+    works without document-at-a-time coordination. Replaces the
+    reference's posting-list sampling (frontend/Master.java:356-391,
+    ≤2000 random docs per term) with exact pruning.
+
+    1. **Seed θ**: decode only the ``seed_blocks_per_term`` highest-
+       upper-bound blocks per term; the k-th best PARTIAL score is a
+       valid lower bound θ on the true k-th best score.
+    2. **Prune + partial score**: a block of term t survives iff
+       ``ub(b) + Σ_{t'≠t} max_ub(t') ≥ θ``. Every doc whose blocks are
+       all pruned is provably below θ (each posting's contribution is ≤
+       its block's ub). Decode ONLY survivors — block bytes of pruned
+       blocks are never read (two scans of the postings table: a
+       metadata projection without the bytes column, then a bytes scan
+       semi-joined to surviving keys). Docs keep the set of terms that
+       contributed, so the remaining headroom is
+       ``slack(d) = Σ_{t ∉ present(d)} max_pruned_ub(t)``.
+    3. **Exact rescore**: candidates = docs with
+       ``partial + slack ≥ θ``. Their missing contributions live only in
+       pruned blocks whose [first_docid, last_docid] range contains a
+       candidate; decode exactly those, filter decoded rows to the
+       candidate set, add in, take the global top-k.
+
+    Rank- and score-identical to ``topk_distributed`` (tested). Adaptive
+    bailouts to the plain plan keep it never-worse in the regimes where
+    pruning cannot pay: fewer than ``min_blocks`` total blocks for the
+    query's terms (each extra phase is a full Spark job + Python-worker
+    roundtrip — with a handful of blocks the single-job full decode is
+    already cheaper than one phase), or a candidate set larger than
+    ``max_candidates`` (θ barely prunes → the full plan is the right
+    plan). θ is slackened by 1e-9 so float drift between the stored
+    block_max and recomputed per-row parts can only under-prune, never
+    over-prune."""
+    terms = parse_query(query, stem=index.stats.get("stem", True))
+    spark = index.spark
+    if not terms:
+        return spark.createDataFrame([], "docid long, score double")
+    if len(terms) == 0:
+        return spark.createDataFrame([], "docid long, score double")
+    avgdl = index.stats["avgdl"]
+    tstats = index.terms.filter(F.col("term").isin(terms)).select(
+        "term", "idf"
+    )
+
+    # --- metadata projection: NO block bytes read in this scan
+    meta = (
+        index.postings.filter(F.col("term").isin(terms))
+        .select(*BLOCK_KEY, "first_docid", "last_docid", "n", "block_max")
+        .join(F.broadcast(tstats), "term")
+        .withColumn("ub", F.col("idf") * F.col("block_max"))
+    )
+    # small-metadata fast path: when the query's block metadata fits on
+    # the driver, collect it ONCE and make every planning decision
+    # (per-term maxima, seed selection, pruned maxima) locally — this
+    # removes two aggregate jobs and a window from the fixed latency,
+    # which dominates on small/medium indexes. Large metadata (stop-word
+    # terms over a huge corpus) keeps the fully distributed planning.
+    meta_rows = meta.limit(META_COLLECT_MAX + 1).collect()
+    meta_local = meta_rows if len(meta_rows) <= META_COLLECT_MAX else None
+    if len(meta_rows) < min_blocks:
+        return topk_distributed(index, query, k)
+    if meta_local is not None:
+        per_term = {}
+        for r in meta_local:
+            per_term[r["term"]] = max(
+                per_term.get(r["term"], 0.0), float(r["ub"])
+            )
+    else:
+        per_term = {
+            r["term"]: float(r["mx"])
+            for r in meta.groupBy("term").agg(F.max("ub").alias("mx")).collect()
+        }
+    if not per_term:
+        return spark.createDataFrame([], "docid long, score double")
+    sum_all = sum(per_term.values())
+
+    def _bytes_for(keys_df: DataFrame) -> DataFrame:
+        """Bytes scan restricted (term-pushdown + key join) to keys_df."""
+        return (
+            index.postings.filter(F.col("term").isin(terms))
+            .select(*BLOCK_KEY, "block")
+            .join(F.broadcast(keys_df), BLOCK_KEY)
+        )
+
+    # --- phase 1: seed θ from the top blocks per term
+    if meta_local is not None:
+        by_term: dict[str, list] = {}
+        for r in meta_local:
+            by_term.setdefault(r["term"], []).append(r)
+        seed_local = []
+        for t, rows in by_term.items():
+            rows.sort(key=lambda r: (-r["ub"], r["bucket"], r["block_id"]))
+            seed_local.extend(rows[:seed_blocks_per_term])
+        seed_keys = spark.createDataFrame(
+            [(r["term"], r["bucket"], r["block_id"]) for r in seed_local],
+            "term string, bucket int, block_id int",
+        )
+    else:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("term").orderBy(
+            F.col("ub").desc(), F.col("bucket").asc(), F.col("block_id").asc()
+        )
+        seed_keys = (
+            meta.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= seed_blocks_per_term)
+            .select(*BLOCK_KEY)
+        )
+    seed_rows = (
+        _bytes_for(seed_keys.select(*BLOCK_KEY))
+        .join(F.broadcast(tstats), "term")
+        .select("term", "block", "idf")
+        .mapInPandas(
+            _decode_rows_idf_term,
+            schema="term string, docid long, tf long, dl long, idf double",
+        )
+    )
+    seed_top = (
+        seed_rows.withColumn("part", _bm25_part_col(avgdl))
+        .groupBy("docid")
+        .agg(F.sum("part").alias("score"))
+        .orderBy(F.col("score").desc(), F.col("docid").asc())
+        .limit(k)
+        .collect()
+    )
+    if len(seed_top) < k:
+        # seed couldn't even fill k — tiny index; pruning pointless
+        return topk_distributed(index, query, k)
+    theta = float(seed_top[-1]["score"]) - 1e-9
+
+    # --- phase 2: prune blocks, partial-score survivors with term sets
+    rest = {t: sum_all - mx for t, mx in per_term.items()}
+    pruned_schema = (
+        "term string, bucket int, block_id int, "
+        "first_docid long, last_docid long"
+    )
+    if meta_local is not None:
+        surv_local = [
+            r for r in meta_local if r["ub"] + rest[r["term"]] >= theta
+        ]
+        pruned_local = [
+            r for r in meta_local if r["ub"] + rest[r["term"]] < theta
+        ]
+        surviving = spark.createDataFrame(
+            [(r["term"], r["bucket"], r["block_id"]) for r in surv_local],
+            "term string, bucket int, block_id int",
+        )
+        pruned = spark.createDataFrame(
+            [
+                (r["term"], r["bucket"], r["block_id"],
+                 r["first_docid"], r["last_docid"])
+                for r in pruned_local
+            ],
+            pruned_schema,
+        )
+        pruned_max = {}
+        for r in pruned_local:
+            pruned_max[r["term"]] = max(
+                pruned_max.get(r["term"], 0.0), float(r["ub"])
+            )
+    else:
+        rest_expr = F.lit(None).cast("double")
+        for t, r in rest.items():
+            rest_expr = F.when(F.col("term") == t, F.lit(r)).otherwise(
+                rest_expr
+            )
+        meta = meta.withColumn("rest", rest_expr)
+        surviving = meta.filter(F.col("ub") + F.col("rest") >= theta)
+        pruned = meta.filter(F.col("ub") + F.col("rest") < theta)
+        pruned_max = {
+            r["term"]: float(r["mx"])
+            for r in pruned.groupBy("term")
+            .agg(F.max("ub").alias("mx"))
+            .collect()
+        }
+    surv_rows = (
+        _bytes_for(surviving.select(*BLOCK_KEY))
+        .join(F.broadcast(tstats), "term")
+        .select("term", "block", "idf")
+        .mapInPandas(
+            _decode_rows_idf_term,
+            schema="term string, docid long, tf long, dl long, idf double",
+        )
+    )
+    partial = (
+        surv_rows.withColumn("part", _bm25_part_col(avgdl))
+        .groupBy("docid")
+        .agg(
+            F.sum("part").alias("pscore"),
+            F.collect_set("term").alias("present"),
+        )
+    )
+    if pruned_max:
+        slack = F.lit(0.0)
+        for t, mx in pruned_max.items():
+            slack = slack + F.when(
+                F.array_contains(F.col("present"), t), F.lit(0.0)
+            ).otherwise(F.lit(mx))
+    else:
+        slack = F.lit(0.0)
+    cands = (
+        partial.withColumn("slack", slack)
+        .filter(F.col("pscore") + F.col("slack") >= theta)
+        .localCheckpoint()  # referenced by phase-3 join AND final union
+    )
+    n_cands = cands.count()
+    if n_cands > max_candidates:
+        return topk_distributed(index, query, k)
+
+    # --- phase 3: exact rescore of candidates from intersecting pruned
+    # blocks only (docid-range containment against the candidate set)
+    cand_ids = cands.select("docid")
+    needed = (
+        pruned.join(
+            F.broadcast(cand_ids),
+            (F.col("docid") >= F.col("first_docid"))
+            & (F.col("docid") <= F.col("last_docid")),
+            "left_semi",
+        )
+        .select(*BLOCK_KEY)
+    )
+    pruned_rows = (
+        _bytes_for(needed)
+        .join(F.broadcast(tstats), "term")
+        .select("term", "block", "idf")
+        .mapInPandas(
+            _decode_rows_idf_term,
+            schema="term string, docid long, tf long, dl long, idf double",
+        )
+        .join(F.broadcast(cand_ids), "docid", "left_semi")
+    )
+    extra = (
+        pruned_rows.withColumn("part", _bm25_part_col(avgdl))
+        .groupBy("docid")
+        .agg(F.sum("part").alias("xscore"))
+    )
+    exact = (
+        cands.join(extra, "docid", "left")
+        .select(
+            "docid",
+            (
+                F.col("pscore") + F.coalesce(F.col("xscore"), F.lit(0.0))
+            ).alias("score"),
+        )
+    )
+    return exact.orderBy(F.col("score").desc(), F.col("docid").asc()).limit(k)
+
+
 def topk_over_segments(
     spark: SparkSession, seg_dirs: list[str], query: str, k: int = 100
 ) -> DataFrame:

@@ -88,6 +88,44 @@ def test_topk_distributed_matches_oracle(index, oracle, q):
 
 
 @pytest.mark.parametrize("q", QUERIES)
+def test_topk_distributed_pruned_matches_oracle(index, oracle, q):
+    """The 3-phase block-max-pruned distributed plan is EXACT: identical
+    docids AND scores to the oracle (and hence to topk_distributed) for
+    every query shape — multi-term, stopword-only, zero-hit term."""
+    got = [
+        (r["docid"], r["score"])
+        for r in Q.topk_distributed_pruned(
+            index, q, k=50, min_blocks=0
+        ).collect()
+    ]
+    want = oracle.topk(q, k=50)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, abs=1e-9)
+
+
+def test_topk_distributed_pruned_small_k_and_aggressive_seed(index, oracle):
+    """k=5 with a 1-block seed prunes hardest; still exact. k larger than
+    the match set falls back to the unpruned plan and stays exact; so
+    does the default min_blocks bailout on this small index."""
+    q = "demosthenes prince andrew"
+    got = [
+        (r["docid"], r["score"])
+        for r in Q.topk_distributed_pruned(
+            index, q, k=5, seed_blocks_per_term=1, min_blocks=0
+        ).collect()
+    ]
+    want = oracle.topk(q, k=5)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    big = Q.topk_distributed_pruned(index, "gentlemen", k=100_000, min_blocks=0)
+    ref = Q.topk_distributed(index, "gentlemen", k=100_000)
+    assert sorted((r["docid"], round(r["score"], 9)) for r in big.collect()) \
+        == sorted((r["docid"], round(r["score"], 9)) for r in ref.collect())
+    bail = Q.topk_distributed_pruned(index, q, k=5)  # default min_blocks
+    assert [(r["docid"],) for r in bail.collect()] == [(d,) for d, _ in want]
+
+
+@pytest.mark.parametrize("q", QUERIES)
 def test_topk_wand_matches_oracle(index, oracle, q):
     got = Q.topk_wand(index, q, k=50)
     want = oracle.topk(q, k=50)
