@@ -489,6 +489,24 @@ def q_events_json(spark, sf_dir):
     )
 
 
+def q_events_rollup(spark, sf_dir):
+    """Grouping-sets coverage (SURVEY §2.4 lists rollup/cube as absent in
+    the reference — present here): per-(type, day) counts plus per-type
+    and grand-total subtotal rows in one aggregation pass."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn(
+            "day", F.date_format(F.col("ts"), "yyyy-MM-dd")
+        )
+        .rollup("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .alias("sum_cents"),
+        )
+    )
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization (30-min inactivity) via lag + running sum."""
     from pyspark.sql import Window
@@ -891,6 +909,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "bm25_index_topk20": q_bm25_index_topk20,
         "bm25_index_pruned": q_bm25_index_pruned,
+        "events_rollup": q_events_rollup,
     }
 
 
@@ -1356,6 +1375,12 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
        event_type, count(*) AS n,
        sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_cents
 FROM events GROUP BY 1, 2
+"""
+
+    sqls["events_rollup"] = """
+SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, count(*) AS n,
+       sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_cents
+FROM events GROUP BY ROLLUP (event_type, strftime(ts, '%Y-%m-%d'))
 """
 
     sqls["events_json"] = r"""

@@ -51,3 +51,26 @@ def test_compact_preserves_content_and_reduces_files(spark, tmp_path):
     # the queryable layout survives: docid ranges are disjoint across files
     got = wh.read("docs").orderBy("docid").select("docid").collect()
     assert [r["docid"] for r in got] == sorted(r[0] for r in before)
+
+
+def test_compact_crash_window_recovery(spark, tmp_path):
+    """A crash between the two swap renames leaves the table stranded at
+    <path>.old; the next read()/compact() must roll it back instead of
+    failing (r2 claimed atomicity the two-rename swap cannot provide)."""
+    import shutil
+
+    wh = Warehouse(spark, str(tmp_path / "whc"))
+    df = spark.range(0, 500).withColumnRenamed("id", "docid")
+    wh.write(df, "t")
+    path = str(tmp_path / "whc" / "t")
+    # simulate the crash window: first rename done, second never happened
+    os.rename(path, path + ".old")
+    assert not os.path.exists(path)
+    assert wh.read("t").count() == 500          # read heals the swap
+    assert os.path.exists(path)
+    # stale .old left over AFTER a completed swap must not break the next
+    # compact (it is discarded, the live table wins)
+    shutil.copytree(path, path + ".old")
+    stats = wh.compact("t", sort_cols=["docid"])
+    assert wh.read("t").count() == 500
+    assert not os.path.exists(path + ".old")
