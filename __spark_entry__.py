@@ -10,7 +10,10 @@ oracle — `oracle_sql()` gives the exact mirror of each; column names and
 rounding match on both sides.
 
 Cross-engine float policy: scores/cosines rounded to 6 dp before ranking;
-money sums cast to DECIMAL(18,2); deterministic tie-breaks everywhere.
+money sums in integer cents (per-row round→BIGINT, associative and
+engine-independent — DECIMAL and raw timestamps hash differently across
+engines even at equal values); time buckets as formatted strings;
+deterministic tie-breaks everywhere.
 """
 
 from __future__ import annotations
