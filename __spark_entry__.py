@@ -166,8 +166,17 @@ def q_idf(spark, sf_dir):
 
 
 def q_bm25_multi(spark, sf_dir):
-    """Q4-replacement: exhaustive BM25 top-k, multi-term."""
-    return T.bm25_topk(_docs(spark, sf_dir), "spark table join", k=20)
+    """Q4-replacement: exhaustive BM25 top-k — the common multi-term query
+    and the rare-term query in one driver slot, tagged by ``q`` (merges the
+    r2 `bm25_rare` entry; both stay standalone in extras)."""
+    docs = _docs(spark, sf_dir)
+    multi = T.bm25_topk(docs, "spark table join", k=20).withColumn(
+        "q", F.lit("multi")
+    )
+    rare = T.bm25_topk(docs, "customer stream vector", k=15).withColumn(
+        "q", F.lit("rare")
+    )
+    return multi.unionByName(rare).select("q", "docid", "score")
 
 
 def q_bm25_single(spark, sf_dir):
@@ -176,6 +185,64 @@ def q_bm25_single(spark, sf_dir):
 
 def q_bm25_rare(spark, sf_dir):
     return T.bm25_topk(_docs(spark, sf_dir), "customer stream vector", k=15)
+
+
+# Q5/Q8 gate shapes. The documents table has no url column, so a url is
+# derived deterministically per doc — source + FIRST TOKEN + docid — and the
+# SAME expression is mirrored in the oracle SQL; query terms land in the url
+# exactly when a doc's lead token is a query term, so the ×50 branch is
+# actually exercised (an all-digit url would make the boost vacuous).
+BOOST_QUERY = "spark table join"  # porter("table")="tabl" → stem pass bites
+
+
+def _gate_url_col():
+    first_tok = F.coalesce(
+        F.element_at(T.tokens_col("text"), 1), F.lit("")
+    )
+    return F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example/"),
+        first_tok, F.lit("/"), F.col("doc_id").cast("string"),
+    )
+
+
+_GATE_URL_SQL = (
+    "'https://' || source || '.example/' || "
+    "coalesce((list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),"
+    " x -> x <> ''))[1], '') || '/' || CAST(doc_id AS VARCHAR)"
+)
+
+
+def q_boosted_topk(spark, sf_dir):
+    """Q5 (frontend/Master.java:375-601): BM25 top-k with the ×50
+    url-substring boost and the ×25 stemmed-pass weight."""
+    return T.boosted_topk(
+        _docs(spark, sf_dir), BOOST_QUERY, k=20, url=_gate_url_col()
+    )
+
+
+def q_rank_fusion(spark, sf_dir):
+    """Q8 (jobs/IndexerProjectVersion1.java:307-328): harmonic fusion of
+    PageRank (10 rounds over the synthetic link graph — same relation as
+    the `pagerank` entry) with the COMPLETE BM25 match set."""
+    from search_engine_spark.operators import pagerank as PR
+
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    ids = docs.select("doc_id")
+    pr = PR.pagerank(PR.synthetic_edges(ids, n), nodes=ids, iters=10)
+    bm = T.bm25_topk(docs, BOOST_QUERY, k=10_000)
+    return PR.rank_fusion(bm, pr, k=20)
+
+
+def q_boost_fusion(spark, sf_dir):
+    """Q5 + Q8 in one driver slot, tagged by ``method`` ('boost' rows =
+    url/stem-boosted BM25 top-20, 'fusion' rows = harmonic PageRank×BM25
+    top-20). Each half is also a standalone extras entry."""
+    boosted = q_boosted_topk(spark, sf_dir).withColumn(
+        "method", F.lit("boost")
+    )
+    fused = q_rank_fusion(spark, sf_dir).withColumn("method", F.lit("fusion"))
+    return boosted.unionByName(fused).select("method", "docid", "score")
 
 
 def q_bm25_index_all(spark, sf_dir):
@@ -835,8 +902,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # text/search core (SURVEY §2.2/§2.3)
         "term_frequencies": q_term_frequencies,
         "document_frequencies": q_document_frequencies,  # + idf (merged)
-        "bm25_multi": q_bm25_multi,
-        "bm25_rare": q_bm25_rare,
+        "bm25_multi": q_bm25_multi,  # + bm25_rare (merged, tagged by q)
+        "boost_fusion_topk": q_boost_fusion,  # Q5 boosts + Q8 rank fusion
         "bm25_index_all": q_bm25_index_all,
         "bm25_batch": q_bm25_batch,
         "segments_topk": q_segments_topk,
@@ -897,6 +964,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lengths": q_doc_lengths,
         "idf": q_idf,
         "bm25_single": q_bm25_single,
+        "bm25_rare": q_bm25_rare,
+        "boosted_topk": q_boosted_topk,
+        "rank_fusion": q_rank_fusion,
         "phrase": q_phrase,
         "distinct_terms": q_distinct_terms,
         "sample_mod": q_sample_mod,
@@ -1189,9 +1259,28 @@ SELECT term, df, round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0), 6) AS idf
 FROM d, n
 """
 
-    sqls["bm25_multi"] = T.bm25_topk_sql_oracle("spark table join", k=20)
+    sqls["bm25_multi"] = f"""
+SELECT 'multi' AS q, docid, score
+FROM ({T.bm25_topk_sql_oracle("spark table join", k=20)})
+UNION ALL
+SELECT 'rare' AS q, docid, score
+FROM ({T.bm25_topk_sql_oracle("customer stream vector", k=15)})
+"""
     sqls["bm25_single"] = T.bm25_topk_sql_oracle("window", k=20)
     sqls["bm25_rare"] = T.bm25_topk_sql_oracle("customer stream vector", k=15)
+    sqls["boosted_topk"] = T.boosted_topk_sql_oracle(
+        BOOST_QUERY, k=20, url_sql=_GATE_URL_SQL
+    )
+    from search_engine_spark.operators.pagerank import rank_fusion_sql
+
+    sqls["rank_fusion"] = rank_fusion_sql(
+        T.bm25_topk_sql_oracle(BOOST_QUERY, k=10_000), iters=10, k=20
+    )
+    sqls["boost_fusion_topk"] = f"""
+SELECT 'boost' AS method, docid, score FROM ({sqls["boosted_topk"]})
+UNION ALL
+SELECT 'fusion' AS method, docid, score FROM ({sqls["rank_fusion"]})
+"""
     sqls["bm25_index_all"] = T.bm25_topk_sql_oracle("spark table join", k=10_000)
     sqls["bm25_index_topk20"] = T.bm25_topk_sql_oracle("spark table join", k=20)
     sqls["bm25_index_pruned"] = T.bm25_topk_sql_oracle("spark table join", k=20)

@@ -223,3 +223,65 @@ def pagerank_sql(
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT id AS docid, round(rank, 6) AS rank FROM r{iters}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Q8: rank fusion (reference jobs/IndexerProjectVersion1.java:307-328)
+# ---------------------------------------------------------------------------
+
+
+def rank_fusion(
+    scores: DataFrame,
+    ranks: DataFrame,
+    k: int = 100,
+    decimals: int = 6,
+) -> DataFrame:
+    """(docid, score): harmonic fusion ``2·pr·s / (pr + s)`` of a text
+    relevance score and a PageRank — the reference's combineRanks
+    (jobs/IndexerProjectVersion1.java:307-328; invocation commented out
+    there, active here).
+
+    ``scores`` is (docid, score) — the complete BM25 match set, not a
+    pre-truncated top-k, so documents whose fused rank rises on the link
+    signal are not lost. ``ranks`` is (id, rank) from :func:`pagerank`.
+
+    Both inputs are rounded to ``decimals`` BEFORE fusing so the fusion
+    arithmetic sees bit-identical operands in Spark and the SQL oracle;
+    the fused score is rounded the same way before the tie-broken top-k
+    (score desc, docid asc → TakeOrderedAndProject). One equi-join on the
+    doc key — at scale both sides hash-partition on it; pr ≥ 1−d > 0 and
+    s > 0, so the denominator never vanishes."""
+    pr = ranks.select(
+        F.col("id").alias("docid"), F.round("rank", decimals).alias("_pr")
+    )
+    s = scores.select("docid", F.round("score", decimals).alias("_s"))
+    fused = s.join(pr, "docid").select(
+        "docid",
+        F.round(
+            F.lit(2.0) * F.col("_pr") * F.col("_s")
+            / (F.col("_pr") + F.col("_s")),
+            decimals,
+        ).alias("score"),
+    )
+    return fused.orderBy(F.col("score").desc(), F.col("docid").asc()).limit(k)
+
+
+def rank_fusion_sql(
+    scores_sql: str,
+    iters: int = 10,
+    k: int = 100,
+    decimals: int = 6,
+    table: str = "documents",
+    docid: str = "doc_id",
+) -> str:
+    """DuckDB mirror of :func:`rank_fusion` over :func:`pagerank_sql`'s
+    rank relation and ``scores_sql`` (any SELECT yielding (docid, score))."""
+    pr_sql = pagerank_sql(iters=iters, table=table, docid=docid)
+    return f"""
+WITH pr AS ({pr_sql}),
+sc AS (SELECT docid, round(score, {decimals}) AS s FROM ({scores_sql}))
+SELECT sc.docid AS docid,
+       round(2.0 * pr.rank * sc.s / (pr.rank + sc.s), {decimals}) AS score
+FROM sc JOIN pr ON sc.docid = pr.docid
+ORDER BY score DESC, sc.docid ASC LIMIT {k}
+"""

@@ -39,6 +39,18 @@ from search_engine_spark.functions.codec import decode_block_np
 from search_engine_spark.oracle.bm25 import B, K1, bm25_term_score
 from search_engine_spark.oracle.text import STOPWORDS, tokenize
 
+# Final scores round to this many decimals before the (score desc,
+# docid asc) ordering. BM25 doubles reproduce only to ~1 ulp across
+# physical plans (partition sum order, stored vs recomputed avgdl, seed/
+# remainder score splits), and two docs with DIFFERENT (tf, dl) inputs can
+# land on the same double — a 1-ulp drift then breaks that coincidental tie
+# in one plan but not another and flips the emitted ranking. 9 dp is far
+# below any meaningful score difference yet ~10^7 ulps wide, so the
+# tie-break — and therefore the ranking — is identical for every plan and
+# parallelism level. Internal pruning thresholds (WAND theta, block-max
+# sums) stay raw: rounding is an emission contract, not scoring math.
+SCORE_ROUND = 9
+
 
 @dataclass
 class Index:
@@ -150,7 +162,7 @@ def topk_distributed(index: Index, query: str, k: int = 100) -> DataFrame:
     scored = (
         decoded.withColumn("part", _bm25_part_col(avgdl))
         .groupBy("docid")
-        .agg(F.sum("part").alias("score"))
+        .agg(F.round(F.sum("part"), SCORE_ROUND).alias("score"))
     )
     return scored.orderBy(F.col("score").desc(), F.col("docid").asc()).limit(k)
 
@@ -438,8 +450,9 @@ def topk_distributed_pruned(
         cands.join(extra, "docid", "left")
         .select(
             "docid",
-            (
-                F.col("pscore") + F.coalesce(F.col("xscore"), F.lit(0.0))
+            F.round(
+                F.col("pscore") + F.coalesce(F.col("xscore"), F.lit(0.0)),
+                SCORE_ROUND,
             ).alias("score"),
         )
     )
@@ -509,7 +522,7 @@ def topk_over_segments(
     scored = (
         union.withColumn("part", _bm25_part_col(avgdl))
         .groupBy("docid")
-        .agg(F.sum("part").alias("score"))
+        .agg(F.round(F.sum("part"), SCORE_ROUND).alias("score"))
     )
     return scored.orderBy(F.col("score").desc(), F.col("docid").asc()).limit(k)
 
@@ -750,7 +763,7 @@ def _topk_bulk(
     d_s, p_s = docids[order], parts[order]
     starts = np.nonzero(np.concatenate(([True], d_s[1:] != d_s[:-1])))[0]
     uniq = d_s[starts]
-    sums = np.add.reduceat(p_s, starts)
+    sums = np.round(np.add.reduceat(p_s, starts), SCORE_ROUND)
     top = np.lexsort((uniq, -sums))[:k]
     return [(int(uniq[i]), float(sums[i])) for i in top]
 
@@ -895,7 +908,10 @@ def topk_wand(
                 c.advance()
         push(pivot_doc, s)
 
-    out = sorted(((-d, s) for s, d in heap), key=lambda x: (-x[1], x[0]))
+    out = sorted(
+        ((-d, round(s, SCORE_ROUND)) for s, d in heap),
+        key=lambda x: (-x[1], x[0]),
+    )
     return [(d, s) for d, s in out]
 
 

@@ -238,3 +238,175 @@ scored AS (
 )
 SELECT docid, score FROM scored ORDER BY score DESC, docid ASC LIMIT {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# Q5: heuristic boosts (reference frontend/Master.java:375-601)
+# ---------------------------------------------------------------------------
+
+URL_BOOST = 50.0  # Master.java:437-441, 457-461: ×50 when url contains term
+STEM_BOOST = 25.0  # Master.java:478-589: stemmed-term pass scored at ×25
+
+
+def _stem_weights(terms: list[str]) -> dict[str, float]:
+    """Per-term additive stem-pass weight. The reference runs a second
+    scoring pass over the Porter stem of each query term at ×25; under the
+    dual-index contract used throughout the gate (stem classes are
+    singletons on the synthetic vocabulary, so the stem-pass tf equals the
+    plain tf — same contract as stemmed_topk) that pass folds into an
+    additive per-term multiplier: +25 iff porter_stem(t) != t."""
+    from search_engine_spark.oracle.porter import porter_stem
+
+    return {t: (STEM_BOOST if porter_stem(t) != t else 0.0) for t in terms}
+
+
+def boosted_topk(
+    docs: DataFrame,
+    query: str,
+    k: int = 100,
+    docid: str = "doc_id",
+    text: str = "text",
+    url: Column | None = None,
+    url_boost: float = URL_BOOST,
+    stem_boost_by_term: dict[str, float] | None = None,
+) -> DataFrame:
+    """Q5: BM25 top-k with the reference's heuristic boosts
+    (frontend/Master.java:375-601) grafted onto the north-star scorer.
+
+    Each per-term BM25 contribution is multiplied by
+        (url contains term ? url_boost : 1) + stem_weight(term)
+    where the ×50 url-substring boost mirrors Master.java:437-441/457-461
+    and the additive stem weight is the ×25 stemmed pass
+    (Master.java:478-589) folded in per `_stem_weights`.
+
+    Same single-pass plan shape as bm25_topk (tokenize once, ONE stats
+    broadcast, TakeOrderedAndProject); the url column rides along the
+    narrow projection so the boost is a per-row codegen'd CASE, not a join.
+    """
+    terms = query_terms(query)
+    if not terms:
+        return docs.sparkSession.createDataFrame(
+            [], "docid long, score double"
+        )
+    stem_w = (
+        stem_boost_by_term
+        if stem_boost_by_term is not None
+        else _stem_weights(terms)
+    )
+    if url is None:
+        url = F.lpad(F.col(docid).cast("string"), 12, "0")
+
+    def _eq(t: str):
+        return lambda x: x == F.lit(t)
+
+    toks_once = widen_small_input(docs).select(
+        F.col(docid).alias("docid"),
+        url.alias("_url"),
+        tokens_col(text).alias("_toks"),
+    )
+    arr = F.col("_toks")
+    per_doc = toks_once.select(
+        "docid",
+        F.size(arr).alias("dl"),
+        *[
+            F.size(F.filter(arr, _eq(t))).alias(f"tf{i}")
+            for i, t in enumerate(terms)
+        ],
+        *[
+            (F.instr(F.col("_url"), t) > 0).alias(f"ub{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    denom_norm = F.lit(K1) * (
+        F.lit(1.0 - B) + F.lit(B) * F.col("dl") / F.col("avgdl")
+    )
+    score = F.lit(0.0)
+    for i, t in enumerate(terms):
+        tf_i = F.col(f"tf{i}")
+        part = (
+            bm25_idf_col(F.col("n_docs"), F.col(f"df{i}"))
+            * tf_i * F.lit(K1 + 1.0) / (tf_i + denom_norm)
+        )
+        mult = (
+            F.when(F.col(f"ub{i}"), F.lit(url_boost)).otherwise(F.lit(1.0))
+            + F.lit(stem_w.get(t, 0.0))
+        )
+        score = score + F.when(tf_i > 0, part * mult).otherwise(F.lit(0.0))
+    scored = (
+        per_doc.crossJoin(F.broadcast(stats))
+        .select("docid", score.alias("_s"))
+        .filter(F.col("_s") > 0)
+        .select("docid", F.round("_s", SCORE_DECIMALS).alias("score"))
+    )
+    return scored.orderBy(F.col("score").desc(), F.col("docid").asc()).limit(k)
+
+
+def boosted_topk_sql_oracle(
+    query: str,
+    k: int = 100,
+    table: str = "documents",
+    docid: str = "doc_id",
+    text: str = "text",
+    url_sql: str | None = None,
+    url_boost: float = URL_BOOST,
+) -> str:
+    """DuckDB mirror of boosted_topk — identical constants, boost rule,
+    rounding, and tie-break. ``url_sql`` is a SQL expression over the base
+    table's columns producing the url string (default mirrors the operator
+    default lpad(docid))."""
+    terms = query_terms(query)
+    stem_w = _stem_weights(terms)
+    if url_sql is None:
+        url_sql = f"lpad(CAST({docid} AS VARCHAR), 12, '0')"
+    terms_sql = ", ".join(f"('{t}', {stem_w[t]})" for t in terms)
+    return f"""
+WITH docs AS (
+  SELECT {docid} AS docid, {text} AS txt, {url_sql} AS url FROM {table}
+),
+qterms(term, sw) AS (VALUES {terms_sql}),
+toks AS (
+  SELECT docid, t.term
+  FROM docs,
+       LATERAL unnest(string_split_regex(
+         trim(regexp_replace(lower(txt), '[^a-z0-9]+', ' ', 'g')), ' '
+       )) AS t(term)
+  WHERE t.term <> ''
+),
+doclen AS (SELECT docid, count(*) AS dl FROM toks GROUP BY docid),
+stats AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl
+  FROM (SELECT d.docid, coalesce(l.dl, 0) AS dl
+        FROM docs d LEFT JOIN doclen l ON d.docid = l.docid)
+),
+tf AS (
+  SELECT docid, term, count(*) AS tf FROM toks
+  WHERE term IN (SELECT term FROM qterms) GROUP BY docid, term
+),
+dfreq AS (SELECT term, count(DISTINCT docid) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.docid,
+         round(sum(
+           ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+           * tf.tf * {K1 + 1.0}
+           / (tf.tf + {K1} * ({1.0 - B} + {B} * doclen.dl / stats.avgdl))
+           * ((CASE WHEN contains(d.url, qterms.term)
+                    THEN {url_boost} ELSE 1.0 END) + qterms.sw)
+         ), {SCORE_DECIMALS}) AS score
+  FROM tf
+  JOIN qterms USING (term)
+  JOIN dfreq USING (term)
+  JOIN doclen ON tf.docid = doclen.docid
+  JOIN docs d ON tf.docid = d.docid
+  CROSS JOIN stats
+  GROUP BY tf.docid
+)
+SELECT docid, score FROM scored ORDER BY score DESC, docid ASC LIMIT {k}
+"""

@@ -94,6 +94,20 @@ def main() -> None:
         ],
     )
 
+    # 3b. boosted BM25 (Q5): same single-pass shape — the url boost must
+    # be a per-row CASE riding the narrow projection, not a join or shuffle
+    audit(
+        "boosted BM25 top-k (Q5 url/stem boosts)",
+        qs["boosted_topk"](spark, sf_dir),
+        [
+            ("TakeOrderedAndProject", lambda p: "TakeOrderedAndProject" in p),
+            ("stats broadcast, no shuffle join",
+             lambda p: "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p),
+            ("zero hash-partition exchanges",
+             lambda p: "Exchange hashpartitioning" not in p),
+        ],
+    )
+
     # 4. join+agg: broadcast
     audit(
         "join_agg (orders ⋈ customer)",
