@@ -456,49 +456,78 @@ SIMHASH_BITS = 64  # r2's 32-bit signature banded into 8-bit keys = only
 # so no shift ever touches a sign bit in either engine.
 
 
+def _simhash_batches(batches):
+    """Arrow worker for :func:`simhash`: per-doc 64-bit signature, fully
+    vectorized. One md5 per DISTINCT term per batch (memoized via
+    factorize — the vocab is orders of magnitude smaller than the
+    occurrence stream), bit counting via a (uniques × 64) bit matrix
+    indexed by occurrence code and summed per doc with ``add.reduceat``.
+    Bit-identical to the DuckDB mirror (__spark_entry__._simhash_ctes):
+    same "0:"-tagged md5 halves, same 2·s_j > total majority rule."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    shifts = np.arange(32, dtype=np.uint32)
+    weights = (1 << np.arange(32, dtype=np.uint64)).astype(np.uint64)
+    for pdf in batches:
+        toks = pdf["_toks"]
+        lens = np.fromiter((len(t) for t in toks), dtype=np.int64,
+                           count=len(toks))
+        keep = lens > 0  # no tokens → no signature (explode semantics)
+        if not keep.any():
+            continue
+        docids = pdf["docid"].to_numpy()[keep]
+        lens = lens[keep]
+        flat = np.concatenate([np.asarray(t, dtype=object)
+                               for t, k in zip(toks, keep) if k])
+        codes, uniq = pd.factorize(flat)
+        digests = [hashlib.md5(b"0:" + u.encode()).digest() for u in uniq]
+        ulo = np.frombuffer(
+            b"".join(d[:4] for d in digests), dtype=">u4"
+        ).astype(np.uint32)
+        uhi = np.frombuffer(
+            b"".join(d[4:8] for d in digests), dtype=">u4"
+        ).astype(np.uint32)
+        bits = np.concatenate(
+            [((ulo[:, None] >> shifts) & 1), ((uhi[:, None] >> shifts) & 1)],
+            axis=1,
+        ).astype(np.uint8)  # (U, 64), bit b little-endian within each half
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        sums = np.add.reduceat(bits[codes].astype(np.int64), starts, axis=0)
+        setbits = (2 * sums) > lens[:, None]
+        lo = (setbits[:, :32].astype(np.uint64) * weights).sum(axis=1)
+        hi = (setbits[:, 32:].astype(np.uint64) * weights).sum(axis=1)
+        yield pd.DataFrame({
+            "docid": docids,
+            "sim_lo": lo.astype(np.int64),
+            "sim_hi": hi.astype(np.int64),
+        })
+
+
 def simhash(
     df: DataFrame, docid: str = "doc_id", text: str = "text"
 ) -> DataFrame:
     """(docid, sim_lo, sim_hi) — 64-bit tf-weighted SimHash (Charikar
     2002) as two non-negative 32-bit halves.
 
-    Plan: explode tokens → ONE md5 per occurrence yields both 32-bit
-    half-hashes → ONE wide aggregation per doc with 65 sum columns
-    (Σ bit_j over occurrences for each j, plus the occurrence count).
-    tf-weighting is free: Σ_terms tf·bit_j ≡ Σ_occurrences bit_j. The
-    signed per-bit sum is 2·s_j − total, so bit j is set iff
-    2·s_j > total. ONE keyed shuffle with map-side partial aggregation —
-    no per-(doc,term) tf stage (r2 shuffled twice) and no per-bit row
-    explosion (r1/r2 exploded 32 rows per term)."""
+    Plan: JVM tokenize → ONE Arrow pass computing each doc's signature
+    locally (``_simhash_batches``) — ZERO shuffles: the signature is a
+    per-doc function, so nothing needs co-location. The r2 plan shipped
+    every token occurrence through a keyed 65-column aggregation exchange;
+    at web scale that shuffle was pure waste. tf-weighting is free
+    (Σ_terms tf·bit_j ≡ Σ_occurrences bit_j); bit j is set iff
+    2·s_j > total, matching the SQL mirror exactly."""
     df = widen_small_input(df)
-    occ = df.select(
-        F.col(docid).alias("docid"),
-        F.explode(tokens_col(text)).alias("term"),
-    ).select(
-        "docid",
-        md5_int32(F.col("term")).alias("hlo"),
-        md5_int32_hi(F.col("term")).alias("hhi"),
+    toks = df.select(
+        F.col(docid).alias("docid"), tokens_col(text).alias("_toks")
     )
-    aggs = []
-    for b in range(SIMHASH_BITS):
-        h = F.col("hlo") if b < 32 else F.col("hhi")
-        bit = F.shiftright(h, b % 32).bitwiseAND(F.lit(1))
-        aggs.append(F.sum(bit).alias(f"s{b}"))
-    aggs.append(F.count(F.lit(1)).alias("stot"))
-    wide = occ.groupBy("docid").agg(*aggs)
-    lo = F.lit(0).cast("long")
-    hi = F.lit(0).cast("long")
-    for b in range(32):
-        lo = lo + F.when(
-            2 * F.col(f"s{b}") > F.col("stot"), F.lit(1 << b).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-    for b in range(32, 64):
-        hi = hi + F.when(
-            2 * F.col(f"s{b}") > F.col("stot"),
-            F.lit(1 << (b - 32)).cast("long"),
-        ).otherwise(F.lit(0).cast("long"))
-    return wide.select(
-        "docid", lo.alias("sim_lo"), hi.alias("sim_hi")
+    # docid keeps the caller's type (bigint doc ids, string urls, ...)
+    id_type = toks.schema["docid"].dataType.simpleString()
+    return toks.mapInPandas(
+        _simhash_batches,
+        schema=f"docid {id_type}, sim_lo long, sim_hi long",
     )
 
 

@@ -132,14 +132,15 @@ def main() -> None:
         # executed one; count structural nodes in ONE rendering only
         return p.split("(pre-execution formatted plan)")[-1]
 
-    # 5b. simhash: ONE keyed shuffle (the wide 65-column aggregate)
+    # 5b. simhash: per-doc Arrow pass — ZERO shuffles (signatures are a
+    # per-doc function; nothing needs co-location)
     audit(
-        "simhash signatures (one keyed shuffle)",
+        "simhash signatures (zero-shuffle Arrow pass)",
         qs["simhash"](spark, sf_dir),
         [
-            ("exactly one keyed exchange",
-             lambda p: _formatted_tail(p).count("hashpartitioning(") == 1),
-            ("partial/final hash aggregation", lambda p: "HashAggregate" in p),
+            ("zero keyed exchanges",
+             lambda p: _formatted_tail(p).count("hashpartitioning(") == 0),
+            ("Arrow-batched map", lambda p: "MapInPandas" in p),
         ],
     )
 
