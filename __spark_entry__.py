@@ -672,6 +672,31 @@ def q_bpe_tokens(spark, sf_dir):
     return TS.bpe_token_estimate(_docs(spark, sf_dir))
 
 
+def q_repetition(spark, sf_dir):
+    """Gopher repetition rules (Rae et al. 2021 A1): duplicated/top
+    n-gram fractions per doc — the boilerplate-filter signals."""
+    return TS.repetition_stats(_docs(spark, sf_dir))
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction pass (emails/IPv4/phones → tokens + counts). On the
+    synthetic corpus this verifies zero false positives and byte-identical
+    pass-through; crafted-doc hit behavior is pytest-verified."""
+    return TS.pii_scrub(_docs(spark, sf_dir))
+
+
+SPLIT_WEIGHTS = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+
+def q_split_assign(spark, sf_dir):
+    """Deterministic hash train/val/test split assignment."""
+    return SMP.split_assign(
+        _docs(spark, sf_dir).select("doc_id", "lang"),
+        key="doc_id",
+        weights=SPLIT_WEIGHTS,
+    )
+
+
 def q_cosine_near_pairs(spark, sf_dir):
     return S.cosine_near_pairs(_t(spark, sf_dir, "embeddings"), 0.44)
 
@@ -980,6 +1005,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode": q_media_decode,
         "media_resize": q_media_resize,
         "contamination": q_contamination,
+        "repetition": q_repetition,
+        "pii_scrub": q_pii_scrub,
+        "split_assign": q_split_assign,
         "bm25_index_topk20": q_bm25_index_topk20,
         "bm25_index_pruned": q_bm25_index_pruned,
         "events_rollup": q_events_rollup,
@@ -1669,6 +1697,54 @@ SELECT p.docid, p.n_pieces, len(t.toks)::INT AS n_words,
             THEN round(p.n_pieces * 1.0 / len(t.toks), 6)
             ELSE 0.0 END AS pieces_per_word
 FROM p JOIN toks t ON t.docid = p.docid
+"""
+
+    sqls["repetition"] = f"""
+WITH {TOKS_CTE}, {POS_CTE},
+n AS (SELECT docid, len(toks)::BIGINT AS n_tokens FROM toks
+      WHERE len(toks) >= 2),
+g AS (SELECT p.docid,
+             p.term || ' ' || lead(p.term) OVER w AS bg,
+             p.term || ' ' || lead(p.term) OVER w
+                    || ' ' || lead(p.term, 2) OVER w AS tg
+      FROM pos p WINDOW w AS (PARTITION BY p.docid ORDER BY p.pos)),
+bc AS (SELECT docid, bg, count(*) AS c FROM g WHERE bg IS NOT NULL
+       GROUP BY docid, bg),
+bs AS (SELECT docid, sum(c)::BIGINT AS n_bigrams,
+              count(*)::BIGINT AS n_distinct_bigrams,
+              max(c)::BIGINT AS top_bigram_count
+       FROM bc GROUP BY docid),
+ts AS (SELECT docid, count(DISTINCT tg)::BIGINT AS n_tri_d FROM g
+       WHERE tg IS NOT NULL GROUP BY docid)
+SELECT n.docid, n.n_tokens, bs.n_bigrams, bs.n_distinct_bigrams,
+       bs.top_bigram_count,
+       floor((1.0 - bs.n_distinct_bigrams::DOUBLE / bs.n_bigrams) * 1e6)
+         / 1e6 AS dup_bigram_frac,
+       floor((2.0 * bs.top_bigram_count / n.n_tokens) * 1e6)
+         / 1e6 AS top_bigram_frac,
+       CASE WHEN n.n_tokens >= 3 THEN
+         floor((1.0 - COALESCE(ts.n_tri_d, 0)::DOUBLE / (n.n_tokens - 2))
+               * 1e6) / 1e6
+       END AS dup_trigram_frac
+FROM n JOIN bs USING (docid) LEFT JOIN ts USING (docid)
+"""
+
+    sqls["pii_scrub"] = f"""
+SELECT doc_id AS docid,
+       regexp_replace(regexp_replace(regexp_replace(
+         text, '{TS.PII_EMAIL_RE}', '<EMAIL>', 'g'),
+         '{TS.PII_IPV4_RE}', '<IP>', 'g'),
+         '{TS.PII_PHONE_RE}', '<PHONE>', 'g') AS clean_text,
+       len(regexp_extract_all(text, '{TS.PII_EMAIL_RE}'))::BIGINT AS n_emails,
+       len(regexp_extract_all(text, '{TS.PII_IPV4_RE}'))::BIGINT AS n_ips,
+       len(regexp_extract_all(text, '{TS.PII_PHONE_RE}'))::BIGINT AS n_phones
+FROM documents
+"""
+
+    sqls["split_assign"] = f"""
+SELECT doc_id, lang,
+       {SMP.split_assign_sql("doc_id", SPLIT_WEIGHTS)} AS split
+FROM documents
 """
 
     sqls["cosine_near_pairs"] = """

@@ -86,3 +86,49 @@ def stratified_sample_sql(
         for s, frac in sorted(fractions.items())
     ]
     return "(" + " OR ".join(parts) + ")"
+
+
+def split_assign(
+    df: DataFrame,
+    key: str,
+    weights: dict[str, float],
+    seed: int | str = "split",
+) -> DataFrame:
+    """df + ``split`` column — deterministic train/val/test assignment.
+
+    Every dataset release needs a split that is (a) reproducible bit-for-
+    bit across reruns and cluster layouts, (b) stable under appends (a
+    row's split never changes when other rows arrive), and (c) free of
+    the partitioning dependence of ``randomSplit``. Hash-partition the
+    unit interval: u = md5(seed:key) mod 10^6, assign the first split
+    whose cumulative weight bound exceeds u (splits ordered by name for
+    determinism). Weights must sum to ~1; the last split absorbs
+    remainder. Pure map stage — no shuffle, survives any scale."""
+    total = sum(weights.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    h = md5_int(F.col(key).cast("string"), seed=seed) % SCALE
+    names = sorted(weights)
+    expr = F.lit(names[-1])
+    cum = 0.0
+    bounds = []
+    for name in names[:-1]:
+        cum += weights[name]
+        bounds.append((name, int(cum * SCALE)))
+    for name, b in reversed(bounds):
+        expr = F.when(h < b, F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)
+
+
+def split_assign_sql(
+    key: str, weights: dict[str, float], seed: int | str = "split"
+) -> str:
+    """DuckDB CASE-expression mirror of :func:`split_assign`."""
+    h = f"({md5_int_sql(f'CAST({key} AS VARCHAR)', seed=seed)} % {SCALE})"
+    names = sorted(weights)
+    clauses = []
+    cum = 0.0
+    for name in names[:-1]:
+        cum += weights[name]
+        clauses.append(f"WHEN {h} < {int(cum * SCALE)} THEN '{name}'")
+    return "CASE " + " ".join(clauses) + f" ELSE '{names[-1]}' END"

@@ -239,3 +239,137 @@ def length_quantiles(
         for p in probs
     ]
     return df.groupBy(group).agg(*aggs, F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# Web-corpus curation: repetition rules + PII scrubbing
+# ---------------------------------------------------------------------------
+
+REP_QUANT = 1e6  # floor-quantize fractions (same rationale as quality_score)
+
+
+def repetition_stats(
+    df: DataFrame, docid: str = "doc_id", text: str = "text"
+) -> DataFrame:
+    """(docid, n_tokens, n_bigrams, n_distinct_bigrams, top_bigram_count,
+    dup_bigram_frac, top_bigram_frac, dup_trigram_frac) — the
+    repetition-based quality signals of the Gopher rules (Rae et al. 2021,
+    appendix A1): boilerplate/templated web text shows up as a high
+    fraction of duplicated word n-grams and a single dominant n-gram.
+
+    * ``dup_bigram_frac``  = 1 − distinct_bigrams / bigrams
+    * ``top_bigram_frac``  = tokens covered by the most frequent bigram
+      / n_tokens (= 2·top_count / n_tokens, Gopher's "top n-gram
+      fraction" in token rather than character units)
+    * ``dup_trigram_frac`` = 1 − distinct_trigrams / trigrams
+      (NULL when the doc has < 3 tokens)
+
+    Docs with < 2 tokens have no bigrams and are excluded (no repetition
+    signal is defined for them).
+
+    Plan: tokenize → bigram array via ``zip_with`` over two slices (JVM,
+    no explode for the array-level stats) → ONE explode of bigrams →
+    groupBy(docid, bigram) → groupBy(docid) for the mode count. Trigram
+    distinct counts are computed at array level (``array_distinct``)
+    before the explode, so the whole operator is one explode + two keyed
+    aggregations — the term_frequencies shape, map-side partial aggs
+    included. Fractions are floor-quantized to 1e-6 so Spark and the
+    DuckDB mirror agree on exact .5 boundaries."""
+    toks = tokens_col(text)
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    trigrams = F.when(
+        n >= 3,
+        F.zip_with(
+            F.slice(toks, 1, n - 2),
+            F.zip_with(
+                F.slice(toks, 2, n - 2),
+                F.slice(toks, 3, n - 2),
+                lambda b, c: F.concat_ws(" ", b, c),
+            ),
+            lambda a, bc: F.concat_ws(" ", a, bc),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = df.select(
+        F.col(docid).alias("docid"),
+        n.alias("n_tokens"),
+        F.size(F.array_distinct(trigrams)).alias("n_tri_d"),
+        bigrams.alias("_bigrams"),
+    ).filter(F.col("n_tokens") >= 2)
+    ex = base.select(
+        "docid", "n_tokens", "n_tri_d", F.explode("_bigrams").alias("bg")
+    )
+    cnt = ex.groupBy("docid", "n_tokens", "n_tri_d", "bg").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    agg = cnt.groupBy("docid", "n_tokens", "n_tri_d").agg(
+        F.sum("c").alias("n_bigrams"),
+        F.count(F.lit(1)).alias("n_distinct_bigrams"),
+        F.max("c").alias("top_bigram_count"),
+    )
+
+    def quant(x):
+        return F.floor(x * F.lit(REP_QUANT)) / F.lit(REP_QUANT)
+
+    n_tri = F.greatest(F.col("n_tokens") - 2, F.lit(0))
+    return agg.select(
+        "docid",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        F.col("n_distinct_bigrams").cast("long").alias("n_distinct_bigrams"),
+        F.col("top_bigram_count").cast("long").alias("top_bigram_count"),
+        quant(
+            F.lit(1.0) - F.col("n_distinct_bigrams") / F.col("n_bigrams")
+        ).alias("dup_bigram_frac"),
+        quant(
+            F.lit(2.0) * F.col("top_bigram_count") / F.col("n_tokens")
+        ).alias("top_bigram_frac"),
+        F.when(
+            n_tri > 0, quant(F.lit(1.0) - F.col("n_tri_d") / n_tri)
+        ).alias("dup_trigram_frac"),
+    )
+
+
+# PII patterns — deliberately restricted to syntax that Java regex (Spark)
+# and RE2 (DuckDB) interpret identically: character classes, bounded
+# quantifiers, \b word boundaries; no lookaround, no backreferences.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_PHONE_RE = r"\b\+?[0-9]{3}[ .-][0-9]{3}[ .-][0-9]{4}\b"
+
+
+def pii_scrub(
+    df: DataFrame, docid: str = "doc_id", text: str = "text"
+) -> DataFrame:
+    """(docid, clean_text, n_emails, n_ips, n_phones) — PII redaction, a
+    standard pre-training curation pass. Emails, IPv4 addresses, and
+    NNN-NNN-NNNN phone numbers are replaced by <EMAIL>/<IP>/<PHONE>
+    tokens; counts are measured on the ORIGINAL text (so the three counts
+    are independent of replacement order). Replacement runs email → ip →
+    phone; the replacement tokens contain no digits, so a later pattern
+    can never match inside an earlier redaction.
+
+    All JVM regex built-ins (regexp_count / regexp_replace) — whole-stage
+    codegen, no Python. At 100 TB this is a pure map stage: no shuffle,
+    predicate/column pruning unaffected."""
+    t = F.col(text)
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>"),
+            PII_IPV4_RE,
+            "<IP>",
+        ),
+        PII_PHONE_RE,
+        "<PHONE>",
+    )
+    return df.select(
+        F.col(docid).alias("docid"),
+        clean.alias("clean_text"),
+        F.regexp_count(t, F.lit(PII_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(t, F.lit(PII_IPV4_RE)).cast("long").alias("n_ips"),
+        F.regexp_count(t, F.lit(PII_PHONE_RE)).cast("long").alias("n_phones"),
+    )

@@ -597,3 +597,67 @@ def test_dedup_clusters_singletons_and_dups(spark, docs):
            for r in D.dedup_clusters(docs, threshold=0.5).collect()}
     assert got[3] == 0 and got[0] == 0        # exact dups cluster to min id
     assert all(got[d] == d for d in (2, 4, 5))  # singletons self-cluster
+
+
+def test_repetition_stats_crafted(spark):
+    """'a b a b a b': 5 bigrams {ab×3, ba×2} → dup 0.6, top 2·3/6 = 1.0;
+    4 trigrams {aba×2, bab×2} → dup 0.5. Short docs are excluded."""
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "one two three four"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    got = {r["docid"]: r.asDict() for r in TS.repetition_stats(df).collect()}
+    r1 = got[1]
+    assert (r1["n_tokens"], r1["n_bigrams"], r1["n_distinct_bigrams"],
+            r1["top_bigram_count"]) == (6, 5, 2, 3)
+    assert r1["dup_bigram_frac"] == pytest.approx(0.6, abs=1e-6)
+    assert r1["top_bigram_frac"] == pytest.approx(1.0, abs=1e-6)
+    assert r1["dup_trigram_frac"] == pytest.approx(0.5, abs=1e-6)
+    r2 = got[2]  # all bigrams/trigrams distinct → zero repetition
+    assert r2["dup_bigram_frac"] == 0.0 and r2["dup_trigram_frac"] == 0.0
+    assert 3 not in got  # one token: no bigram signal defined
+
+
+def test_pii_scrub_hits_and_passthrough(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@ex-ample.org or x@y.io, ip 10.0.255.3, "
+                "tel +1 555 123 4567 and 555-123-4567"),
+            (2, "no pii here: version 1.2 at 3pm, a@b (not an email)"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["docid"]: r.asDict() for r in TS.pii_scrub(df).collect()}
+    r1 = got[1]
+    assert (r1["n_emails"], r1["n_ips"], r1["n_phones"]) == (2, 1, 2)
+    assert "<EMAIL>" in r1["clean_text"] and "<IP>" in r1["clean_text"]
+    assert "@" not in r1["clean_text"]
+    assert "555" not in r1["clean_text"]
+    r2 = got[2]  # clean doc: byte-identical pass-through, zero counts
+    assert r2["clean_text"] == "no pii here: version 1.2 at 3pm, a@b (not an email)"
+    assert (r2["n_emails"], r2["n_ips"], r2["n_phones"]) == (0, 0, 0)
+
+
+def test_split_assign_deterministic_and_stable(spark):
+    import search_engine_spark.operators.sampling as SMP
+
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    ids = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: r["split"]
+         for r in SMP.split_assign(ids, "doc_id", w).collect()}
+    # repartitioning must not change any assignment (unlike randomSplit)
+    b = {r["doc_id"]: r["split"]
+         for r in SMP.split_assign(ids.repartition(7), "doc_id", w).collect()}
+    assert a == b
+    # append-stable: assignments on a subset equal those on the full set
+    sub = {r["doc_id"]: r["split"] for r in SMP.split_assign(
+        ids.filter("doc_id < 100"), "doc_id", w).collect()}
+    assert all(a[k] == v for k, v in sub.items())
+    # weights roughly respected and every row assigned to a known split
+    from collections import Counter
+    c = Counter(a.values())
+    assert set(c) == {"train", "val", "test"} and sum(c.values()) == 2000
+    assert 0.75 <= c["train"] / 2000 <= 0.85
+    # bad weights rejected
+    with pytest.raises(ValueError):
+        SMP.split_assign(ids, "doc_id", {"a": 0.5, "b": 0.4})
