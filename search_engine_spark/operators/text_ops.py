@@ -43,7 +43,7 @@ def exploded_terms(
     df: DataFrame, docid: str = "doc_id", text: str = "text"
 ) -> DataFrame:
     """(docid, pos, term) — one row per token occurrence, 1-based positions."""
-    df = widen_small_input(df)
+    df = widen_small_input(df, light=True)
     return df.select(
         F.col(docid).alias("docid"),
         F.posexplode(tokens_col(text)).alias("pos0", "term"),
@@ -132,6 +132,8 @@ def bm25_topk(
     # so the per-term filters reference the alias. CollapseProject keeps the
     # two Projects separate (the alias is non-cheap and multiply referenced)
     # — without this, each tf column re-evaluates the regex split.
+    # NOT light: the per-term tf filters below are 5-10× regex-tokenize
+    # cost per byte — measured at sf0.1, widened 0.70 s vs unwidened 1.1 s.
     toks_once = widen_small_input(docs).select(
         F.col(docid).alias("docid"), tokens_col(text).alias("_toks")
     )
@@ -299,6 +301,7 @@ def boosted_topk(
     def _eq(t: str):
         return lambda x: x == F.lit(t)
 
+    # NOT light: same measured tradeoff as bm25_topk's tf-filter pipeline.
     toks_once = widen_small_input(docs).select(
         F.col(docid).alias("docid"),
         url.alias("_url"),

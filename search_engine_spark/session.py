@@ -52,7 +52,17 @@ def get_spark(
     return spark
 
 
-def widen_small_input(df, min_ratio: int = 2):
+# Below this input size a LIGHT (plain-tokenize-grade) pipeline finishes
+# faster on one task than the round-robin exchange costs: a full
+# repartition is a fixed ~0.4 s stage + a write+read of the data, while
+# regex tokenize+explode of a few MB is sub-second single-core. Measured
+# break-even on the sf0.1 documents table (0.6 MB): no-widen 0.49 s vs
+# widen 0.71 s for term_frequencies. Heavy pipelines (shingling, k-gram
+# signatures: 10-100× the per-byte cost) widen unconditionally.
+LIGHT_WIDEN_MIN_BYTES = 8 * 1024 * 1024
+
+
+def widen_small_input(df, min_ratio: int = 2, light: bool = False):
     """Parallelize tiny scans before expression-heavy pipelines.
 
     A small table often arrives as ONE file → ONE task (splits are
@@ -62,6 +72,13 @@ def widen_small_input(df, min_ratio: int = 2):
     round-robin repartition to default parallelism; at real scale the
     input has splits >> cores and this is a no-op (no shuffle inserted).
     Only order-insensitive consumers (keyed aggregations) may rely on it.
+
+    ``light=True`` declares the downstream expressions cheap per byte
+    (simple tokenize/regex rather than shingle/signature work): then a
+    local input smaller than LIGHT_WIDEN_MIN_BYTES skips the exchange —
+    for tiny tables the repartition costs more than it buys back. Sizes
+    are only stat-able for ``file:`` URIs; remote stores skip the check
+    (at real scale the fast path below already no-ops).
 
     Streaming DataFrames pass through untouched (``df.rdd`` would throw).
     The many-files fast path skips the RDD-conversion probe entirely —
@@ -74,8 +91,18 @@ def widen_small_input(df, min_ratio: int = 2):
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     try:
-        if len(df.inputFiles()) * min_ratio >= target:
+        files = df.inputFiles()
+        if len(files) * min_ratio >= target:
             return df
+        if light and files:
+            paths = [
+                f[len("file:"):] if f.startswith("file:") else None
+                for f in files
+            ]
+            if all(p and os.path.exists(p) for p in paths):
+                total = sum(os.path.getsize(p) for p in paths)
+                if total < LIGHT_WIDEN_MIN_BYTES:
+                    return df
     except Exception:
         pass
     if df.rdd.getNumPartitions() * min_ratio < target:

@@ -467,6 +467,22 @@ def test_widen_small_input_noop_on_wide_input(spark):
     assert widen_small_input(narrow) is not narrow
 
 
+def test_widen_small_input_light_skips_tiny_files(spark, tmp_path):
+    """light=True: a tiny local single-file scan passes through unwidened
+    (the exchange costs more than single-task tokenize saves); the same
+    scan still widens under the default heavy policy."""
+    from search_engine_spark.session import widen_small_input
+
+    p = str(tmp_path / "tiny.parquet")
+    spark.range(0, 100, numPartitions=1).write.parquet(p)
+    scan = spark.read.parquet(p)
+    assert widen_small_input(scan, light=True) is scan
+    assert widen_small_input(scan) is not scan
+    # non-file inputs (no stat-able size) keep the conservative behavior
+    narrow = spark.range(0, 100, numPartitions=1)
+    assert widen_small_input(narrow, light=True) is not narrow
+
+
 def test_asof_join_semantics(spark):
     """<= inclusivity, no-prior-match nulls, and greatest-tiebreak on
     timestamp ties."""
