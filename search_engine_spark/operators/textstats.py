@@ -277,11 +277,17 @@ def repetition_stats(
     DuckDB mirror agree on exact .5 boundaries."""
     toks = tokens_col(text)
     n = F.size(toks)
-    bigrams = F.zip_with(
-        F.slice(toks, 1, n - 1),
-        F.slice(toks, 2, n - 1),
-        lambda a, b: F.concat_ws(" ", a, b),
-    )
+    # CaseWhen evaluates branches lazily per row: the n>=2 guard keeps
+    # slice() from seeing a negative length on zero-token docs (punct-only
+    # text) — found by the hypothesis cross-engine property test.
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     trigrams = F.when(
         n >= 3,
         F.zip_with(

@@ -1,0 +1,212 @@
+"""Hypothesis property tests for CROSS-ENGINE parity of the text-curation
+operators: the same randomized documents run through the Spark operator
+(Java regex / JVM expressions) and the DuckDB oracle SQL (RE2 regex /
+native SQL), and must agree exactly. The per-query gate checks one fixed
+corpus; these tests walk the input space (adversarial spacing, punctuation
+runs, PII-lookalike fragments, degenerate token streams) where regex
+dialect or arithmetic drift would hide.
+
+Each hypothesis example batches a LIST of documents into ONE Spark job so
+the suite stays fast (a per-string Spark roundtrip would be ~0.3 s each).
+The alphabet is printable ASCII — the corpus contract (TESTDATA.md docs
+are ASCII); unicode case-folding is out of contract and differs across
+engines by design.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import given, settings, strategies as st
+
+import search_engine_spark.operators.sampling as SMP
+import search_engine_spark.operators.textstats as TS
+
+# text that stresses the tokenizer/PII regexes: words, digit runs,
+# separators, PII punctuation, and pathological repeats
+_CHUNKS = st.one_of(
+    st.text(
+        alphabet=st.characters(
+            codec="ascii", min_codepoint=32, max_codepoint=126,
+            exclude_characters="'\\",
+        ),
+        max_size=12,
+    ),
+    st.sampled_from(
+        [
+            "a@b.co",
+            "x.y+z@mail-host.org",
+            "10.0.255.3",
+            "999.999.999.999",
+            "1.2.3",
+            "555-123-4567",
+            "+1 555 123 4567",
+            "version 1.2 at 3pm",
+            "a b a b a b",
+            "  .. ..  ",
+            "the the the",
+        ]
+    ),
+)
+
+docs_strategy = st.lists(
+    st.builds(lambda parts: " ".join(parts), st.lists(_CHUNKS, max_size=8)),
+    min_size=1,
+    max_size=24,
+)
+
+
+def _duck_rows(sql: str, docs: list[str]):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, ?)" for i in range(len(docs)))
+        + ") AS t(doc_id, text)",
+        docs,
+    )
+    return sorted(tuple(r) for r in con.sql(sql).fetchall())
+
+
+def _spark_df(spark, docs: list[str]):
+    return spark.createDataFrame(
+        list(enumerate(docs)), "doc_id long, text string"
+    )
+
+
+TOKS_CTE = (
+    "toks AS (SELECT doc_id AS docid, "
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "
+    "x -> x <> '') AS toks FROM documents)"
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(docs_strategy)
+def test_term_frequencies_cross_engine(spark, docs):
+    """Java-regex tokenize+count in Spark == RE2 string_split_regex in
+    DuckDB for arbitrary printable-ASCII documents — the substrate every
+    index build and text statistic rests on."""
+    import search_engine_spark.operators.text_ops as T
+
+    got = sorted(
+        tuple(r)
+        for r in T.term_frequencies(_spark_df(spark, docs)).collect()
+    )
+    want = _duck_rows(
+        f"WITH {TOKS_CTE}, "
+        "flat AS (SELECT docid, t.term FROM toks, "
+        "unnest(toks.toks) AS t(term)) "
+        "SELECT docid, term, count(*)::BIGINT AS tf "
+        "FROM flat GROUP BY docid, term",
+        docs,
+    )
+    assert got == want
+
+
+@settings(max_examples=12, deadline=None)
+@given(docs_strategy)
+def test_pii_scrub_cross_engine(spark, docs):
+    """Email/IPv4/phone redaction and counts agree between Java regex and
+    RE2 on adversarial text (PII look-alikes, boundary punctuation)."""
+    got = sorted(
+        tuple(r) for r in TS.pii_scrub(_spark_df(spark, docs)).collect()
+    )
+    want = _duck_rows(
+        f"""
+SELECT doc_id AS docid,
+       regexp_replace(regexp_replace(regexp_replace(
+         text, '{TS.PII_EMAIL_RE}', '<EMAIL>', 'g'),
+         '{TS.PII_IPV4_RE}', '<IP>', 'g'),
+         '{TS.PII_PHONE_RE}', '<PHONE>', 'g') AS clean_text,
+       len(regexp_extract_all(text, '{TS.PII_EMAIL_RE}'))::BIGINT AS n_emails,
+       len(regexp_extract_all(text, '{TS.PII_IPV4_RE}'))::BIGINT AS n_ips,
+       len(regexp_extract_all(text, '{TS.PII_PHONE_RE}'))::BIGINT AS n_phones
+FROM documents
+""",
+        docs,
+    )
+    assert got == want
+
+
+@settings(max_examples=12, deadline=None)
+@given(docs_strategy)
+def test_repetition_stats_matches_python_reference(spark, docs):
+    """repetition_stats (one-explode Spark plan) == a direct per-document
+    Python computation of the Gopher repetition signals."""
+    import re
+
+    got = {
+        r["docid"]: r.asDict()
+        for r in TS.repetition_stats(_spark_df(spark, docs)).collect()
+    }
+    import math
+
+    def quant(x):
+        return math.floor(x * 1e6) / 1e6
+
+    for i, text in enumerate(docs):
+        toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+        if len(toks) < 2:
+            assert i not in got
+            continue
+        bgs = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        tgs = [f"{a} {b} {c}" for a, b, c in zip(toks, toks[1:], toks[2:])]
+        from collections import Counter
+
+        bc = Counter(bgs)
+        r = got[i]
+        assert r["n_tokens"] == len(toks)
+        assert r["n_bigrams"] == len(bgs)
+        assert r["n_distinct_bigrams"] == len(bc)
+        assert r["top_bigram_count"] == max(bc.values())
+        assert r["dup_bigram_frac"] == pytest.approx(
+            quant(1.0 - len(bc) / len(bgs)), abs=1e-12
+        )
+        assert r["top_bigram_frac"] == pytest.approx(
+            quant(2.0 * max(bc.values()) / len(toks)), abs=1e-12
+        )
+        if len(toks) >= 3:
+            assert r["dup_trigram_frac"] == pytest.approx(
+                quant(1.0 - len(set(tgs)) / len(tgs)), abs=1e-12
+            )
+        else:
+            assert r["dup_trigram_frac"] is None
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=10**9), min_size=1,
+             max_size=200, unique=True),
+    st.integers(min_value=1, max_value=8),
+    st.integers(min_value=1, max_value=8),
+)
+def test_split_assign_cross_engine(spark, ids, w1, w2):
+    """Hash split assignment agrees row-for-row with its DuckDB SQL mirror
+    for arbitrary keys and weight mixes, and is exhaustive (every row gets
+    a split from the weight table)."""
+    total = w1 + w2 + 2
+    weights = {
+        "train": w1 / total,
+        "val": w2 / total,
+        "test": 2 / total,
+    }
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = sorted(
+        (r["doc_id"], r["split"])
+        for r in SMP.split_assign(df, "doc_id", weights).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE ks AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i})" for i in ids)
+        + ") AS t(doc_id)"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.sql(
+            f"SELECT doc_id, {SMP.split_assign_sql('doc_id', weights)} "
+            "AS split FROM ks"
+        ).fetchall()
+    )
+    assert got == want
+    assert {s for _, s in got} <= {"train", "val", "test"}
