@@ -31,6 +31,7 @@ from search_engine_spark.operators import similarity as S
 from search_engine_spark.operators import multimodal as MM
 from search_engine_spark.operators import text_ops as T
 from search_engine_spark.operators import textstats as TS
+from search_engine_spark.operators import urls as U
 from search_engine_spark.operators.indexer import build_index
 from search_engine_spark.operators import query as IQ
 from search_engine_spark.functions.hashing import (
@@ -697,6 +698,66 @@ def q_split_assign(spark, sf_dir):
     )
 
 
+def _messy_urls(spark, sf_dir):
+    """documents + a deterministic MESSY ``url`` column (mixed-case scheme/
+    host, default ports, fragments, trailing slashes). Even doc_ids within
+    a doc_id-triple (3k vs 3k+2: same parity → same scheme+WWW, same
+    host+path from g = doc_id//3) differ ONLY in port/fragment/slash — so
+    canonicalization must collapse ~1/3 of the corpus, exercising every
+    branch. Mirrored by ``_MESSY_URL_SQL``."""
+    d = F.col("doc_id")
+    g = F.floor(d / 3).cast("bigint")
+    url = F.concat(
+        F.when(d % 2 == 0, F.lit("http")).otherwise(F.lit("HTTPS")),
+        F.lit("://"),
+        F.when(d % 2 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.lit("site"), (g % 37).cast("string"),
+        F.lit(".Example"), (g % 7).cast("string"), F.lit(".com"),
+        F.when(
+            d % 5 == 0,
+            F.when(d % 2 == 0, F.lit(":80")).otherwise(F.lit(":443")),
+        ).otherwise(F.lit("")),
+        F.lit("/Page/"), g.cast("string"),
+        F.when(d % 4 == 1, F.lit("/")).otherwise(F.lit("")),
+        F.when(d % 3 == 0, F.concat(F.lit("#sec"), (d % 4).cast("string")))
+        .otherwise(F.lit("")),
+    )
+    return _docs(spark, sf_dir).withColumn("url", url)
+
+
+_MESSY_URL_SQL = """
+msdocs AS (
+  SELECT *,
+    concat(
+      CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'HTTPS' END, '://',
+      CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END,
+      'site', ((doc_id // 3) % 37)::VARCHAR,
+      '.Example', ((doc_id // 3) % 7)::VARCHAR, '.com',
+      CASE WHEN doc_id % 5 = 0
+           THEN CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END
+           ELSE '' END,
+      '/Page/', (doc_id // 3)::VARCHAR,
+      CASE WHEN doc_id % 4 = 1 THEN '/' ELSE '' END,
+      CASE WHEN doc_id % 3 = 0 THEN concat('#sec', (doc_id % 4)::VARCHAR)
+           ELSE '' END
+    ) AS url
+  FROM documents)
+"""
+
+
+def q_domain_stats(spark, sf_dir):
+    """Per-registered-domain corpus profile (doc/char/lang/host counts) —
+    the statistic per-domain caps and filters consume (C4-style)."""
+    return U.domain_stats(_messy_urls(spark, sf_dir))
+
+
+def q_url_dedup(spark, sf_dir):
+    """Canonical-URL dedup keep-table (reference Crawler.java:519-525
+    canonicalURL handling): WWW-/port-/fragment-/slash-variant URLs of the
+    same page collapse to one representative."""
+    return U.url_dedup(_messy_urls(spark, sf_dir))
+
+
 def q_cosine_near_pairs(spark, sf_dir):
     return S.cosine_near_pairs(_t(spark, sf_dir, "embeddings"), 0.44)
 
@@ -1008,6 +1069,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition": q_repetition,
         "pii_scrub": q_pii_scrub,
         "split_assign": q_split_assign,
+        "domain_stats": q_domain_stats,
+        "url_dedup": q_url_dedup,
         "bm25_index_topk20": q_bm25_index_topk20,
         "bm25_index_pruned": q_bm25_index_pruned,
         "events_rollup": q_events_rollup,
@@ -1745,6 +1808,16 @@ FROM documents
 SELECT doc_id, lang,
        {SMP.split_assign_sql("doc_id", SPLIT_WEIGHTS)} AS split
 FROM documents
+"""
+
+    sqls["domain_stats"] = f"""
+WITH {_MESSY_URL_SQL}
+{U.domain_stats_sql(table="msdocs")}
+"""
+
+    sqls["url_dedup"] = f"""
+WITH {_MESSY_URL_SQL}
+{U.url_dedup_sql(table="msdocs")}
 """
 
     sqls["cosine_near_pairs"] = """

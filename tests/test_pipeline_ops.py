@@ -677,3 +677,76 @@ def test_split_assign_deterministic_and_stable(spark):
     # bad weights rejected
     with pytest.raises(ValueError):
         SMP.split_assign(ids, "doc_id", {"a": 0.5, "b": 0.4})
+
+
+def test_canonical_url_crafted(spark):
+    """Crawler-grade canonicalization branch coverage: case-normalized
+    scheme+authority (path case preserved), fragment dropped, scheme-
+    matched default ports dropped (non-default ports kept), one trailing
+    slash dropped, userinfo untouched, schemeless passthrough."""
+    import search_engine_spark.operators.urls as U
+
+    cases = [
+        ("HTTPS://WWW.Ex.COM:443/A/b?Q=1#frag", "https://www.ex.com/A/b?Q=1"),
+        ("http://Ex.com:80/", "http://ex.com"),
+        ("http://ex.com:8080/p", "http://ex.com:8080/p"),   # non-default kept
+        ("https://ex.com:80/p", "https://ex.com:80/p"),     # mismatched kept
+        ("http://u:p@Host.NET/Path", "http://u:p@host.net/Path"),
+        ("http://ex.com", "http://ex.com"),
+        ("no-scheme/Path/", "no-scheme/Path"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r[0] for r in df.select(U.canonical_url("url")).collect()]
+    assert got == [want for _, want in cases]
+    # DuckDB mirror agrees on every case
+    import duckdb
+
+    con = duckdb.connect()
+    for raw, want in cases:
+        out = con.execute(
+            f"SELECT {U.canonical_url_sql('u')} FROM (SELECT ? AS u)", [raw]
+        ).fetchone()[0]
+        assert out == want, (raw, out, want)
+
+
+def test_url_host_and_domain(spark):
+    import search_engine_spark.operators.urls as U
+
+    cases = [
+        ("https://a.b.Example.CO/x", "a.b.example.co", "example.co"),
+        ("http://u@WWW.site.ORG:8080/", "www.site.org", "site.org"),
+        ("http://localhost/x", "localhost", "localhost"),
+        ("not-a-url", "", ""),
+    ]
+    df = spark.createDataFrame([(u,) for u, _, _ in cases], "url string")
+    got = df.select(
+        U.url_host("url").alias("h"), U.registered_domain("url").alias("d")
+    ).collect()
+    assert [(r["h"], r["d"]) for r in got] == [
+        (h, d) for _, h, d in cases
+    ]
+
+
+def test_url_dedup_and_domain_stats(spark):
+    import search_engine_spark.operators.urls as U
+
+    df = spark.createDataFrame(
+        [
+            (1, "http://A.com/x#f", "short text", "en"),
+            (2, "HTTP://a.com:80/x/", "other words", "en"),   # same canon as 1
+            (3, "https://b.a.com/x", "more text here", "de"),
+            (4, "https://c.org/y", "zz", "en"),
+        ],
+        "doc_id long, url string, text string, lang string",
+    )
+    kept = {r["docid"]: r["canonical_url"] for r in U.url_dedup(df).collect()}
+    assert kept == {
+        1: "http://a.com/x",
+        3: "https://b.a.com/x",
+        4: "https://c.org/y",
+    }
+    stats = {r["domain"]: r.asDict() for r in U.domain_stats(df).collect()}
+    assert stats["a.com"]["n_docs"] == 3
+    assert stats["a.com"]["n_hosts"] == 2      # a.com + b.a.com
+    assert stats["a.com"]["n_langs"] == 2
+    assert stats["c.org"]["n_docs"] == 1
