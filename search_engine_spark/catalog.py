@@ -6,7 +6,12 @@ at production scale — atomic snapshot commits, partition pruning, schema
 evolution. This container has no Iceberg runtime jar, so the SAME writer
 abstraction degrades to a plain-parquet layout with identical schemas,
 identical (sorted, range-partitioned) file layout, and overwrite-as-commit
-semantics. Swapping to Iceberg is a session-conf change, not a code change:
+semantics. ``versioned=True`` additionally provides the snapshot-commit
+contract WITHOUT the jar: every write is a JSON file manifest + an atomic
+``_VERSION`` pointer flip (Iceberg's hadoop-catalog commit shape) — time
+travel via ``read(name, version=N)``, ``snapshots()`` lineage,
+``expire_snapshots()`` retention, append without rewrite, and compaction
+as a pointer flip with no crash window. Swapping to Iceberg is a session-conf change, not a code change:
 
     spark.sql.catalog.se            = org.apache.iceberg.spark.SparkCatalog
     spark.sql.catalog.se.type      = hadoop
@@ -20,7 +25,10 @@ log + replay) with table commits.
 
 from __future__ import annotations
 
+import json
 import os
+import time
+import uuid
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -52,6 +60,7 @@ class Warehouse:
     spark: SparkSession
     root: str
     iceberg_catalog: str | None = None
+    versioned: bool = False
 
     def __post_init__(self) -> None:
         self._iceberg = bool(
@@ -67,19 +76,139 @@ class Warehouse:
         ns = os.path.basename(self.root.rstrip("/")) or "idx"
         return f"{self.iceberg_catalog}.{ns}.{name}"
 
+    # -- snapshot plumbing (parquet path; Iceberg has its own) ------------
+
+    def _ptr_path(self, name: str) -> str:
+        return os.path.join(self.root, name, "_VERSION")
+
+    def _manifest_path(self, name: str, version: int) -> str:
+        return os.path.join(
+            self.root, name, "_snapshots", f"v{version:06d}.json"
+        )
+
+    def current_version(self, name: str) -> int | None:
+        """Committed snapshot id of a versioned table, else None."""
+        try:
+            with open(self._ptr_path(name)) as f:
+                return int(f.read().strip())
+        except (OSError, ValueError):
+            return None
+
+    def _manifest(self, name: str, version: int) -> dict:
+        with open(self._manifest_path(name, version)) as f:
+            return json.load(f)
+
+    def _commit(self, name: str, manifest: dict) -> None:
+        """Two-step atomic commit: manifest file first (content-complete
+        before it becomes visible: written to a tmp name, then renamed),
+        then the _VERSION pointer the same way. A crash anywhere leaves
+        either the old version fully live or the new one — never a
+        half-commit (the unreferenced data/manifest files are swept by
+        :meth:`expire_snapshots`). Single-writer per table, like an
+        Iceberg hadoop catalog's rename-based commit."""
+        mpath = self._manifest_path(name, manifest["version"])
+        os.makedirs(os.path.dirname(mpath), exist_ok=True)
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.rename(tmp, mpath)
+        ptr, ptmp = self._ptr_path(name), self._ptr_path(name) + ".tmp"
+        with open(ptmp, "w") as f:
+            f.write(str(manifest["version"]))
+        os.rename(ptmp, ptr)
+
+    def snapshots(self, name: str) -> list[dict]:
+        """All committed snapshot manifests of ``name`` (ascending), up to
+        the current pointer — lineage metadata for audits and rollbacks."""
+        cur = self.current_version(name)
+        if cur is None:
+            return []
+        out = []
+        for v in range(1, cur + 1):
+            try:
+                out.append(self._manifest(name, v))
+            except OSError:
+                continue  # expired
+        return out
+
+    def expire_snapshots(self, name: str, keep_last: int = 2) -> dict:
+        """Drop all but the ``keep_last`` newest snapshots and delete data
+        files no remaining snapshot references (Iceberg's
+        expire_snapshots action). Also sweeps orphan data dirs left by a
+        crash before commit. Returns {manifests_dropped, dirs_dropped}."""
+        import shutil
+
+        cur = self.current_version(name)
+        if cur is None:
+            return {"manifests_dropped": 0, "dirs_dropped": 0}
+        keep_from = max(1, cur - keep_last + 1)
+        dropped = 0
+        for v in range(1, keep_from):
+            try:
+                os.remove(self._manifest_path(name, v))
+                dropped += 1
+            except OSError:
+                pass
+        live: set[str] = set()
+        for v in range(keep_from, cur + 1):
+            try:
+                live |= {
+                    f.split("/", 2)[1]  # data/<dir>/file.parquet
+                    for f in self._manifest(name, v)["files"]
+                }
+            except OSError:
+                pass
+        data_root = os.path.join(self.root, name, "data")
+        gone = 0
+        for d in os.listdir(data_root) if os.path.isdir(data_root) else []:
+            if d not in live:
+                shutil.rmtree(os.path.join(data_root, d), ignore_errors=True)
+                gone += 1
+        return {"manifests_dropped": dropped, "dirs_dropped": gone}
+
     def write(self, df: DataFrame, name: str, mode: str = "overwrite") -> None:
         """Commit ``df`` as table ``name``. Iceberg: an atomic snapshot
-        (createOrReplace / append). Parquet: directory overwrite/append —
-        the write is staged by Spark's commit protocol, so readers never
-        see partial output."""
+        (createOrReplace / append). Parquet, ``versioned=False``:
+        directory overwrite/append — staged by Spark's commit protocol, so
+        readers never see partial output. Parquet, ``versioned=True``:
+        an Iceberg-style snapshot commit — data files land under
+        ``<table>/data/<uuid>/``, a JSON manifest lists every live file
+        (``append`` = parent's files + the new ones: no rewrite), and the
+        ``_VERSION`` pointer flips atomically; old snapshots stay readable
+        via ``read(name, version=...)`` until expired."""
         if self._iceberg:
             writer = df.writeTo(self._ident(name)).using("iceberg")
             if mode == "append":
                 writer.append()
             else:
                 writer.createOrReplace()
-        else:
+            return
+        cur = self.current_version(name)
+        # auto-detect like read(): once a table is versioned, every commit
+        # goes through the snapshot protocol even if this handle didn't
+        # set the flag — mixing layouts would corrupt the table.
+        if not self.versioned and cur is None:
             df.write.mode(mode).parquet(os.path.join(self.root, name))
+            return
+        ddir = f"s{(cur or 0) + 1}-{uuid.uuid4().hex[:8]}"
+        out = os.path.join(self.root, name, "data", ddir)
+        df.write.mode("overwrite").parquet(out)
+        files = sorted(
+            f"data/{ddir}/{f}" for f in os.listdir(out)
+            if f.endswith(".parquet")
+        )
+        if mode == "append" and cur is not None:
+            files = self._manifest(name, cur)["files"] + files
+        self._commit(
+            name,
+            {
+                "version": (cur or 0) + 1,
+                "parent": cur,
+                "mode": mode,
+                "ts": time.time(),
+                "files": files,
+            },
+        )
 
     def _recover(self, name: str) -> None:
         """Heal the parquet-path swap's crash window: ``compact`` renames
@@ -95,9 +224,21 @@ class Warehouse:
         if not os.path.exists(path) and os.path.exists(old):
             os.rename(old, path)
 
-    def read(self, name: str) -> DataFrame:
+    def read(self, name: str, version: int | None = None) -> DataFrame:
+        """Read table ``name``; versioned tables are AUTO-DETECTED by the
+        ``_VERSION`` pointer, so readers need no flag and time travel is
+        ``read(name, version=N)`` (any unexpired snapshot)."""
         if self._iceberg:
             return self.spark.read.table(self._ident(name))
+        cur = self.current_version(name)
+        if cur is not None:
+            m = self._manifest(name, version if version is not None else cur)
+            base = os.path.join(self.root, name)
+            return self.spark.read.parquet(
+                *[os.path.join(base, f) for f in m["files"]]
+            )
+        if version is not None:
+            raise ValueError(f"table {name!r} is not versioned")
         self._recover(name)
         return self.spark.read.parquet(os.path.join(self.root, name))
 
@@ -118,6 +259,25 @@ class Warehouse:
         {files_before, files_after, bytes}."""
         import math
         import shutil
+
+        cur = self.current_version(name)
+        if cur is not None:
+            # versioned table: compaction is just another snapshot commit
+            # (pointer flip) — NO directory swap, NO crash window at all.
+            base = os.path.join(self.root, name)
+            m = self._manifest(name, cur)
+            nbytes = sum(
+                os.path.getsize(os.path.join(base, f)) for f in m["files"]
+            )
+            n_out = max(1, math.ceil(nbytes / (target_mb << 20)))
+            out = self.read(name).repartitionByRange(
+                n_out, *sort_cols
+            ).sortWithinPartitions(*sort_cols)
+            before = len(m["files"])
+            self.write(out, name, mode="overwrite")
+            after = len(self._manifest(name, cur + 1)["files"])
+            return {"files_before": before, "files_after": after,
+                    "bytes": nbytes}
 
         self._recover(name)
         df = self.read(name)

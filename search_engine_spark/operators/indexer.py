@@ -558,8 +558,15 @@ def build_index(
     block_size: int = DEFAULT_BLOCK_SIZE,
     partitions: int | None = None,
     from_html: bool = False,
+    versioned: bool = False,
 ) -> dict:
     """pages(url, warc_ts, html, text, lang) → index warehouse at out_dir.
+
+    ``versioned=True`` commits docs/terms/postings as Warehouse snapshot
+    manifests (Iceberg-style): rebuilds become new snapshots, the previous
+    index stays queryable via ``read(name, version=...)`` until expired —
+    rollback-able index refreshes, matching the north star's
+    snapshot-commit contract without the Iceberg runtime jar.
 
     ``from_html`` runs the full pipeline from the raw html column (pinned
     extraction inside the tokenize stage) instead of the pre-extracted
@@ -587,7 +594,7 @@ def build_index(
     try:
         return _build_index_inner(
             spark, src, out_dir, lang, stem, cap, postings_per_bucket,
-            block_size, parts, from_html,
+            block_size, parts, from_html, versioned,
         )
     finally:
         if saved_mpb is None:
@@ -598,11 +605,11 @@ def build_index(
 
 def _build_index_inner(
     spark, src, out_dir, lang, stem, cap, postings_per_bucket,
-    block_size, parts, from_html,
+    block_size, parts, from_html, versioned=False,
 ) -> dict:
     # table commits go through the Warehouse abstraction: Iceberg snapshot
     # commits when a catalog is configured, identical parquet layout here
-    wh = Warehouse(spark, out_dir)
+    wh = Warehouse(spark, out_dir, versioned=versioned)
     # stage 1: materialize the url-range-partitioned, sorted snapshot ONCE
     # (pins one sampling of the range boundaries — see assign_docids doc)
     snap_path = os.path.join(out_dir, "_stage", "ranged_snapshot")

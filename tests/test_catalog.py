@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import os
 
+import pytest
+
 from search_engine_spark.catalog import Warehouse, iceberg_available
 
 
@@ -74,3 +76,76 @@ def test_compact_crash_window_recovery(spark, tmp_path):
     stats = wh.compact("t", sort_cols=["docid"])
     assert wh.read("t").count() == 500
     assert not os.path.exists(path + ".old")
+
+
+def test_versioned_snapshots_time_travel(spark, tmp_path):
+    """Snapshot commits: overwrite creates a new version, the previous one
+    stays readable (time travel); append reuses the parent's files."""
+    wh = Warehouse(spark, str(tmp_path / "v"), versioned=True)
+    df = spark.range(0, 100).withColumnRenamed("id", "docid")
+    wh.write(df, "t")
+    assert wh.current_version("t") == 1
+    wh.write(df.limit(10), "t")                       # overwrite → v2
+    wh.write(df.limit(5), "t", mode="append")         # append    → v3
+    assert wh.current_version("t") == 3
+    assert wh.read("t").count() == 15
+    assert wh.read("t", version=2).count() == 10
+    assert wh.read("t", version=1).count() == 100
+    snaps = wh.snapshots("t")
+    assert [s["version"] for s in snaps] == [1, 2, 3]
+    assert snaps[2]["mode"] == "append" and snaps[2]["parent"] == 2
+    # append manifest contains the parent's files (no rewrite)
+    assert set(snaps[1]["files"]) < set(snaps[2]["files"])
+
+
+def test_versioned_autodetect_and_mixed_handles(spark, tmp_path):
+    """A Warehouse handle WITHOUT the flag must auto-detect an existing
+    versioned table on both read and write (never clobber the layout)."""
+    root = str(tmp_path / "v2")
+    Warehouse(spark, root, versioned=True).write(
+        spark.range(0, 20), "t"
+    )
+    plain = Warehouse(spark, root)                    # no flag
+    assert plain.read("t").count() == 20
+    plain.write(plain.read("t").limit(3), "t")        # goes through commit
+    assert plain.current_version("t") == 2
+    assert plain.read("t").count() == 3
+    assert plain.read("t", version=1).count() == 20
+
+
+def test_versioned_compact_is_pointer_flip(spark, tmp_path):
+    """Compacting a versioned table is one snapshot commit — fewer files,
+    same rows, and the pre-compaction snapshot still time-travels."""
+    from pyspark.sql import functions as F
+
+    wh = Warehouse(spark, str(tmp_path / "v3"), versioned=True)
+    df = spark.range(0, 5000).select(
+        F.col("id").alias("docid"), (F.col("id") % 7).alias("x")
+    )
+    wh.write(df.repartition(32), "t")
+    stats = wh.compact("t", sort_cols=["docid"])
+    assert stats["files_before"] >= 32 and stats["files_after"] <= 4
+    assert wh.current_version("t") == 2
+    assert wh.read("t").count() == 5000
+    assert wh.read("t", version=1).count() == 5000
+
+
+def test_expire_snapshots_drops_unreferenced_data(spark, tmp_path):
+    import os
+
+    root = str(tmp_path / "v4")
+    wh = Warehouse(spark, root, versioned=True)
+    df = spark.range(0, 50)
+    wh.write(df, "t")
+    wh.write(df.limit(10), "t")
+    wh.write(df.limit(5), "t")
+    # plus an orphan data dir from a simulated crashed (uncommitted) write
+    orphan = os.path.join(root, "t", "data", "sXX-orphan")
+    os.makedirs(orphan)
+    open(os.path.join(orphan, "junk.parquet"), "w").write("x")
+    out = wh.expire_snapshots("t", keep_last=1)
+    assert out["manifests_dropped"] == 2
+    assert out["dirs_dropped"] == 3                   # v1 + v2 + orphan
+    assert wh.read("t").count() == 5                  # current unharmed
+    with pytest.raises(Exception):
+        wh.read("t", version=1)

@@ -256,3 +256,45 @@ def test_from_html_build_identical(spark, tmp_path_factory, oracle):
         got = Q.topk_wand(idx, q, k=30)
         want = oracle.topk(q, k=30)
         assert [d for d, _ in got] == [d for d, _ in want]
+
+
+def test_versioned_index_rebuild_time_travel(spark, tmp_path_factory):
+    """versioned=True: an index REBUILD is a snapshot commit — the new
+    build serves, and the previous index snapshot still answers queries
+    (rollback-able refreshes, the north star's Iceberg-commit contract)."""
+    from search_engine_spark.catalog import Warehouse
+
+    out = str(tmp_path_factory.mktemp("vidx") / "main")
+    small = gen_pages_df(spark, 120, partitions=2)
+    big = gen_pages_df(spark, 240, partitions=2)
+    build_index(small, out, lang="en", stem=False, partitions=2,
+                versioned=True)
+    idx1 = Q.load_index(spark, out)
+    q = "the gentlemen"
+    v1_top = [(r["docid"], r["score"])
+              for r in Q.topk_distributed(idx1, q, k=10).collect()]
+    n1 = idx1.docs.count()
+    build_index(big, out, lang="en", stem=False, partitions=2,
+                versioned=True)                       # rebuild → v2
+    idx2 = Q.load_index(spark, out)
+    assert idx2.docs.count() > n1                     # serving the rebuild
+    wh = Warehouse(spark, out)
+    assert wh.current_version("postings") == 2
+    # the v1 snapshot of every table still reads — and the doc count
+    # matches what the v1 build served
+    assert wh.read("docs", version=1).count() == n1
+    assert len(wh.snapshots("postings")) == 2
+    # ROLLBACK proof: an index handle pointed at the v1 snapshots answers
+    # the query EXACTLY as the v1 build did before the rebuild
+    from types import SimpleNamespace
+
+    idx_v1 = SimpleNamespace(
+        spark=spark,
+        stats=idx1.stats,  # captured at v1 load time
+        postings=wh.read("postings", version=1),
+        terms=wh.read("terms", version=1),
+        docs=wh.read("docs", version=1),
+    )
+    rolled_back = [(r["docid"], r["score"])
+                   for r in Q.topk_distributed(idx_v1, q, k=10).collect()]
+    assert rolled_back == v1_top
