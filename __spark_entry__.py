@@ -758,6 +758,42 @@ def q_url_dedup(spark, sf_dir):
     return U.url_dedup(_messy_urls(spark, sf_dir))
 
 
+CURATION_Q_MIN = 0.528       # ~median en quality at sf0.01 — real cut
+CURATION_REP_MAX = 0.09      # ~p90 dup_bigram_frac — drops the worst tail
+
+
+def q_curation_pipeline(spark, sf_dir):
+    """END-TO-END training-data curation — the composition the individual
+    operators exist for, as ONE declarative plan: language filter →
+    quality floor (C4/Gopher-family heuristic) → repetition ceiling
+    (Gopher A1) → canonical-URL dedup → exact text dedup → deterministic
+    train/val/test split. Output (doc_id, split) is the keep-table a
+    100 TB pipeline would hand to tokenization. Each stage is a keyed
+    semi-join against a filter/dedup relation; dedup representatives are
+    min-doc_id among SURVIVORS of the earlier stages (order pinned,
+    mirrored in SQL)."""
+    docs = _messy_urls(spark, sf_dir)
+    en = docs.filter(F.col("lang") == "en")
+    q_keep = (
+        TS.quality_score(en)
+        .filter(F.col("quality") >= CURATION_Q_MIN)
+        .select(F.col("docid").alias("doc_id"))
+    )
+    rep_keep = (
+        TS.repetition_stats(en)
+        .filter(F.col("dup_bigram_frac") <= CURATION_REP_MAX)
+        .select(F.col("docid").alias("doc_id"))
+    )
+    surv = en.join(q_keep, "doc_id").join(rep_keep, "doc_id")
+    url_keep = U.url_dedup(surv).select(F.col("docid").alias("doc_id"))
+    surv = surv.join(url_keep, "doc_id")
+    text_keep = surv.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    surv = surv.join(text_keep.select("doc_id"), "doc_id")
+    return SMP.split_assign(
+        surv.select("doc_id"), key="doc_id", weights=SPLIT_WEIGHTS
+    )
+
+
 def q_cosine_near_pairs(spark, sf_dir):
     return S.cosine_near_pairs(_t(spark, sf_dir, "embeddings"), 0.44)
 
@@ -1071,6 +1107,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assign": q_split_assign,
         "domain_stats": q_domain_stats,
         "url_dedup": q_url_dedup,
+        "curation_pipeline": q_curation_pipeline,
         "bm25_index_topk20": q_bm25_index_topk20,
         "bm25_index_pruned": q_bm25_index_pruned,
         "events_rollup": q_events_rollup,
@@ -1813,6 +1850,47 @@ FROM documents
     sqls["domain_stats"] = f"""
 WITH {_MESSY_URL_SQL}
 {U.domain_stats_sql(table="msdocs")}
+"""
+
+    _stop_f = f"len(list_filter(toks, x -> list_contains([{STOP_LIST}], x)))"
+    sqls["curation_pipeline"] = f"""
+WITH {_MESSY_URL_SQL},
+en AS (SELECT * FROM msdocs WHERE lang = 'en'),
+toks AS (SELECT doc_id AS docid,
+  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')
+  AS toks FROM en),
+qb AS (
+  SELECT docid, len(toks) AS n, len(list_distinct(toks)) AS u,
+         {_stop_f} AS st,
+         list_sum(list_transform(toks, x -> length(x)))::DOUBLE AS cs
+  FROM toks WHERE len(toks) > 0),
+q_keep AS (
+  SELECT docid FROM qb
+  WHERE floor((0.3 * least(n / 200.0, 1.0) + 0.3 * (u * 1.0 / n)
+        + 0.2 * (1.0 - st * 1.0 / n)
+        + 0.2 * least(cs / n / 8.0, 1.0)) * 1e6) / 1e6 >= {CURATION_Q_MIN}),
+g AS (SELECT t.docid,
+        list_extract(t.toks, g.i) || ' ' ||
+        list_extract(t.toks, g.i + 1) AS bg
+      FROM toks t, unnest(generate_series(1, len(t.toks) - 1)) AS g(i)
+      WHERE len(t.toks) >= 2),
+bs AS (SELECT docid, count(*) AS nb, count(DISTINCT bg) AS nd
+       FROM g WHERE bg IS NOT NULL GROUP BY docid),
+rep_keep AS (
+  SELECT docid FROM bs
+  WHERE floor((1.0 - nd * 1.0 / nb) * 1e6) / 1e6 <= {CURATION_REP_MAX}),
+surv AS (
+  SELECT e.* FROM en e
+  JOIN q_keep q ON q.docid = e.doc_id
+  JOIN rep_keep r ON r.docid = e.doc_id),
+ukeep AS (SELECT min(doc_id) AS doc_id FROM surv
+          GROUP BY {U.canonical_url_sql("url")}),
+s2 AS (SELECT s.* FROM surv s JOIN ukeep k ON s.doc_id = k.doc_id),
+tkeep AS (SELECT min(doc_id) AS doc_id FROM s2 GROUP BY text),
+fin AS (SELECT s.doc_id FROM s2 s JOIN tkeep t ON s.doc_id = t.doc_id)
+SELECT doc_id,
+       {SMP.split_assign_sql("doc_id", SPLIT_WEIGHTS)} AS split
+FROM fin
 """
 
     sqls["url_dedup"] = f"""
