@@ -784,7 +784,14 @@ def q_curation_pipeline(spark, sf_dir):
         .filter(F.col("dup_bigram_frac") <= CURATION_REP_MAX)
         .select(F.col("docid").alias("doc_id"))
     )
-    surv = en.join(q_keep, "doc_id").join(rep_keep, "doc_id")
+    # stage the survivor set ONCE: the three dedup/split consumers below
+    # each reference it, and without a materialization boundary Catalyst
+    # re-derives the whole tokenize+filter chain per consumer (24 scans of
+    # the corpus in the unstaged plan). At 100 TB this boundary is a
+    # parquet checkpoint; locally a lazy localCheckpoint is the same cut.
+    surv = en.join(q_keep, "doc_id").join(rep_keep, "doc_id").localCheckpoint(
+        eager=False
+    )
     url_keep = U.url_dedup(surv).select(F.col("docid").alias("doc_id"))
     surv = surv.join(url_keep, "doc_id")
     text_keep = surv.groupBy("text").agg(F.min("doc_id").alias("doc_id"))

@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "window_top_order",
     "sessionize",
     "pagerank",
+    "curation_pipeline",
 ]
 
 
