@@ -155,6 +155,8 @@ class Warehouse:
                 live |= {
                     f.split("/", 2)[1]  # data/<dir>/file.parquet
                     for f in self._manifest(name, v)["files"]
+                    if f.startswith("data/")  # adopted legacy files sit
+                    # at the table root and are never swept
                 }
             except OSError:
                 pass
@@ -197,8 +199,19 @@ class Warehouse:
             f"data/{ddir}/{f}" for f in os.listdir(out)
             if f.endswith(".parquet")
         )
-        if mode == "append" and cur is not None:
-            files = self._manifest(name, cur)["files"] + files
+        if mode == "append":
+            if cur is not None:
+                files = self._manifest(name, cur)["files"] + files
+            else:
+                # first snapshot commit onto a PRE-EXISTING plain-parquet
+                # table: adopt its files into the manifest — dropping them
+                # (the naive cur-is-None path) would silently lose every
+                # pre-migration row on an append.
+                tdir = os.path.join(self.root, name)
+                legacy = sorted(
+                    f for f in os.listdir(tdir) if f.endswith(".parquet")
+                ) if os.path.isdir(tdir) else []
+                files = legacy + files
         self._commit(
             name,
             {
@@ -229,6 +242,12 @@ class Warehouse:
         ``_VERSION`` pointer, so readers need no flag and time travel is
         ``read(name, version=N)`` (any unexpired snapshot)."""
         if self._iceberg:
+            if version is not None:
+                raise NotImplementedError(
+                    "Iceberg time travel goes through the catalog: "
+                    "SELECT ... FROM t VERSION AS OF <snapshot_id> "
+                    "(snapshot ids differ from Warehouse manifest versions)"
+                )
             return self.spark.read.table(self._ident(name))
         cur = self.current_version(name)
         if cur is not None:

@@ -327,12 +327,17 @@ def decontaminate(
     min_shared: int = 1,
     docid: str = "doc_id",
     text: str = "text",
+    probe_id: str | None = None,
+    probe_text: str | None = None,
 ) -> DataFrame:
     """The cleaned corpus: drop every document sharing ≥ ``min_shared``
     n-grams with ANY probe document (left_anti on the contamination
-    relation)."""
+    relation). Probe column names default to the corpus's."""
     hits = (
-        contamination(corpus, probes, n, docid, text)
+        contamination(
+            corpus, probes, n, docid, text,
+            probe_id=probe_id or docid, probe_text=probe_text or text,
+        )
         .filter(F.col("n_shared") >= min_shared)
         .select(F.col("docid").alias(docid))
         .distinct()
@@ -455,59 +460,96 @@ SIMHASH_BITS = 64  # r2's 32-bit signature banded into 8-bit keys = only
 # are carried as two 32-bit halves (sim_lo bits 0-31, sim_hi bits 32-63)
 # so no shift ever touches a sign bit in either engine.
 
+SIMHASH_GATHER_CHUNK = 1 << 18  # max occurrences per bit-matrix gather
 
-def _simhash_batches(batches):
-    """Arrow worker for :func:`simhash`: per-doc 64-bit signature, fully
-    vectorized. One md5 per DISTINCT term per batch (memoized via
+
+def _make_simhash_batches(chunk: int):
+    """Arrow worker factory for :func:`simhash`: per-doc 64-bit signature,
+    fully vectorized. One md5 per DISTINCT term per batch (memoized via
     factorize — the vocab is orders of magnitude smaller than the
     occurrence stream), bit counting via a (uniques × 64) bit matrix
     indexed by occurrence code and summed per doc with ``add.reduceat``.
     Bit-identical to the DuckDB mirror (__spark_entry__._simhash_ctes):
-    same "0:"-tagged md5 halves, same 2·s_j > total majority rule."""
-    import hashlib
+    same "0:"-tagged md5 halves, same 2·s_j > total majority rule.
+    ``chunk`` is closed over at plan-build time (module globals are NOT
+    shared with the executor-side Python workers)."""
+    def _simhash_batches(batches):
+        import hashlib
 
-    import numpy as np
-    import pandas as pd
+        import numpy as np
+        import pandas as pd
 
-    shifts = np.arange(32, dtype=np.uint32)
-    weights = (1 << np.arange(32, dtype=np.uint64)).astype(np.uint64)
-    for pdf in batches:
-        toks = pdf["_toks"]
-        lens = np.fromiter((len(t) for t in toks), dtype=np.int64,
-                           count=len(toks))
-        keep = lens > 0  # no tokens → no signature (explode semantics)
-        if not keep.any():
-            continue
-        docids = pdf["docid"].to_numpy()[keep]
-        lens = lens[keep]
-        flat = np.concatenate([np.asarray(t, dtype=object)
-                               for t, k in zip(toks, keep) if k])
-        codes, uniq = pd.factorize(flat)
-        digests = [hashlib.md5(b"0:" + u.encode()).digest() for u in uniq]
-        ulo = np.frombuffer(
-            b"".join(d[:4] for d in digests), dtype=">u4"
-        ).astype(np.uint32)
-        uhi = np.frombuffer(
-            b"".join(d[4:8] for d in digests), dtype=">u4"
-        ).astype(np.uint32)
-        bits = np.concatenate(
-            [((ulo[:, None] >> shifts) & 1), ((uhi[:, None] >> shifts) & 1)],
-            axis=1,
-        ).astype(np.uint8)  # (U, 64), bit b little-endian within each half
-        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
-        sums = np.add.reduceat(bits[codes].astype(np.int64), starts, axis=0)
-        setbits = (2 * sums) > lens[:, None]
-        lo = (setbits[:, :32].astype(np.uint64) * weights).sum(axis=1)
-        hi = (setbits[:, 32:].astype(np.uint64) * weights).sum(axis=1)
-        yield pd.DataFrame({
-            "docid": docids,
-            "sim_lo": lo.astype(np.int64),
-            "sim_hi": hi.astype(np.int64),
-        })
+        shifts = np.arange(32, dtype=np.uint32)
+        weights = (1 << np.arange(32, dtype=np.uint64)).astype(np.uint64)
+        for pdf in batches:
+            toks = pdf["_toks"]
+            lens = np.fromiter((len(t) for t in toks), dtype=np.int64,
+                               count=len(toks))
+            keep = lens > 0  # no tokens → no signature (explode semantics)
+            if not keep.any():
+                continue
+            docids = pdf["docid"].to_numpy()[keep]
+            lens = lens[keep]
+            flat = np.concatenate([np.asarray(t, dtype=object)
+                                   for t, k in zip(toks, keep) if k])
+            codes, uniq = pd.factorize(flat)
+            digests = [hashlib.md5(b"0:" + u.encode()).digest() for u in uniq]
+            ulo = np.frombuffer(
+                b"".join(d[:4] for d in digests), dtype=">u4"
+            ).astype(np.uint32)
+            uhi = np.frombuffer(
+                b"".join(d[4:8] for d in digests), dtype=">u4"
+            ).astype(np.uint32)
+            bits = np.concatenate(
+                [((ulo[:, None] >> shifts) & 1), ((uhi[:, None] >> shifts) & 1)],
+                axis=1,
+            ).astype(np.uint8)  # (U, 64), bit b little-endian within each half
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            ends = starts + lens
+            # Chunk the occurrence gather: bits[codes] is 64 B/occurrence as
+            # int32 — unchunked, a 10k-doc batch of 2k-token docs would
+            # materialize GBs in one allocation (review finding). ~260k
+            # occurrences per slice caps the transient at ~64 MB; a single
+            # doc longer than the chunk still processes whole (its gather is
+            # bounded by its own length).
+            n_docs = len(lens)
+            lo = np.empty(n_docs, dtype=np.uint64)
+            hi = np.empty(n_docs, dtype=np.uint64)
+            d0 = 0
+            while d0 < n_docs:
+                occ0 = starts[d0]
+                d1 = max(
+                    int(np.searchsorted(ends, occ0 + chunk, side="right")),
+                    d0 + 1,
+                )
+                occ1 = ends[d1 - 1]
+                sums = np.add.reduceat(
+                    bits[codes[occ0:occ1]].astype(np.int32),
+                    starts[d0:d1] - occ0,
+                    axis=0,
+                )
+                setbits = (2 * sums) > lens[d0:d1, None]
+                lo[d0:d1] = (
+                    setbits[:, :32].astype(np.uint64) * weights
+                ).sum(axis=1)
+                hi[d0:d1] = (
+                    setbits[:, 32:].astype(np.uint64) * weights
+                ).sum(axis=1)
+                d0 = d1
+            yield pd.DataFrame({
+                "docid": docids,
+                "sim_lo": lo.astype(np.int64),
+                "sim_hi": hi.astype(np.int64),
+            })
+
+    return _simhash_batches
 
 
 def simhash(
-    df: DataFrame, docid: str = "doc_id", text: str = "text"
+    df: DataFrame,
+    docid: str = "doc_id",
+    text: str = "text",
+    gather_chunk: int | None = None,
 ) -> DataFrame:
     """(docid, sim_lo, sim_hi) — 64-bit tf-weighted SimHash (Charikar
     2002) as two non-negative 32-bit halves.
@@ -526,7 +568,7 @@ def simhash(
     # docid keeps the caller's type (bigint doc ids, string urls, ...)
     id_type = toks.schema["docid"].dataType.simpleString()
     return toks.mapInPandas(
-        _simhash_batches,
+        _make_simhash_batches(gather_chunk or SIMHASH_GATHER_CHUNK),
         schema=f"docid {id_type}, sim_lo long, sim_hi long",
     )
 

@@ -38,14 +38,23 @@ from pyspark.sql import Column, DataFrame, functions as F
 DAMPING = 0.85
 
 # href capture over anchor tags; mirrors the reference's anchor-scan
-# (Crawler.java:560-584) without the per-char state machine.
-_HREF_RE = r'<a\s+[^>]*href="([^"#]+)"'
+# (Crawler.java:560-584) without the per-char state machine. Captures the
+# WHOLE attribute value (single- or double-quoted) — a '#fragment' must be
+# stripped afterwards like the reference's normalizeURL does, not used to
+# reject the link (an excluding char class would silently drop every
+# fragment-bearing anchor).
+_HREF_RE = r"""<a\s+[^>]*href=["']([^"']+)["']"""
 
 
 def outlinks_col(html_col: str | Column) -> Column:
-    """array<string> of raw href targets from anchor tags (JVM regex)."""
+    """array<string> of href targets from anchor tags (JVM regex),
+    fragments stripped, fragment-only links ('#top') dropped."""
     c = F.col(html_col) if isinstance(html_col, str) else html_col
-    return F.regexp_extract_all(c, F.lit(_HREF_RE), 1)
+    raw = F.regexp_extract_all(c, F.lit(_HREF_RE), 1)
+    return F.filter(
+        F.transform(raw, lambda u: F.regexp_replace(u, "#.*$", "")),
+        lambda u: u != "",
+    )
 
 
 def outlinks(

@@ -247,8 +247,6 @@ def topk_distributed_pruned(
     spark = index.spark
     if not terms:
         return spark.createDataFrame([], "docid long, score double")
-    if len(terms) == 0:
-        return spark.createDataFrame([], "docid long, score double")
     avgdl = index.stats["avgdl"]
     tstats = index.terms.filter(F.col("term").isin(terms)).select(
         "term", "idf"

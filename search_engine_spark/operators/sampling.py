@@ -126,6 +126,8 @@ def split_assign_sql(
     """DuckDB CASE-expression mirror of :func:`split_assign`."""
     h = f"({md5_int_sql(f'CAST({key} AS VARCHAR)', seed=seed)} % {SCALE})"
     names = sorted(weights)
+    if len(names) == 1:  # CASE with zero WHENs is invalid SQL
+        return f"'{names[0]}'"
     clauses = []
     cum = 0.0
     for name in names[:-1]:

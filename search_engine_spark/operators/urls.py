@@ -69,14 +69,18 @@ def canonical_url(url: str | Column) -> Column:
     """Crawler-grade URL canonicalization (Crawler.java:121-307 subset
     that applies to absolute URLs): lowercase scheme+authority (path and
     query keep their case — they are case-sensitive per RFC 3986), strip
-    ``#fragment``, strip default ports, strip one trailing slash."""
+    ``#fragment``, strip default ports, strip one path-terminating
+    trailing slash (a slash ending a query string is data and is kept)."""
     u = F.col(url) if isinstance(url, str) else url
     u = F.regexp_replace(u, r"#.*$", "")  # fragment never reaches a server
     prefix = F.lower(F.regexp_extract(u, _PREFIX_RE, 1))
     rest = F.regexp_replace(u, _PREFIX_RE, "")
     prefix = F.regexp_replace(prefix, r"^(http://[^/:]+):80$", r"$1")
     prefix = F.regexp_replace(prefix, r"^(https://[^/:]+):443$", r"$1")
-    return F.regexp_replace(F.concat(prefix, rest), r"/$", "")
+    # strip the slash only when it terminates the PATH (no query present):
+    # a '/' ending a query value ('?to=/') is data, not path decoration.
+    # RE2 has no lookahead, so anchor on "no '?' anywhere before it".
+    return F.regexp_replace(F.concat(prefix, rest), r"^([^?]*)/$", r"$1")
 
 
 def canonical_url_sql(url: str) -> str:
@@ -85,7 +89,9 @@ def canonical_url_sql(url: str) -> str:
     prefix = f"regexp_replace({prefix}, '^(http://[^/:]+):80$', '\\1')"
     prefix = f"regexp_replace({prefix}, '^(https://[^/:]+):443$', '\\1')"
     rest = f"regexp_replace({u}, '{_PREFIX_RE}', '')"
-    return f"regexp_replace(concat({prefix}, {rest}), '/$', '')"
+    return (
+        f"regexp_replace(concat({prefix}, {rest}), '^([^?]*)/$', '\\1')"
+    )
 
 
 def domain_stats(

@@ -92,17 +92,29 @@ def widen_small_input(df, min_ratio: int = 2, light: bool = False):
     target = sc.defaultParallelism
     try:
         files = df.inputFiles()
-        if len(files) * min_ratio >= target:
-            return df
-        if light and files:
+
+        def _total_local_bytes():
             paths = [
                 f[len("file:"):] if f.startswith("file:") else None
                 for f in files
             ]
-            if all(p and os.path.exists(p) for p in paths):
-                total = sum(os.path.getsize(p) for p in paths)
-                if total < LIGHT_WIDEN_MIN_BYTES:
-                    return df
+            if files and all(p and os.path.exists(p) for p in paths):
+                return sum(os.path.getsize(p) for p in paths)
+            return None  # remote / non-file source: not stat-able
+
+        if len(files) * min_ratio >= target:
+            # Many files ≠ many partitions: the scan BIN-PACKS small files
+            # (openCostInBytes / maxPartitionBytes), so 64 tiny chunk
+            # commits can still land in 2 tasks. Short-circuit only when
+            # the bytes say packing cannot collapse below target; tiny
+            # many-file scans fall through to the authoritative probe.
+            total = _total_local_bytes()
+            if total is None or total >= target * (8 << 20):
+                return df
+        elif light:
+            total = _total_local_bytes()
+            if total is not None and total < LIGHT_WIDEN_MIN_BYTES:
+                return df
     except Exception:
         pass
     if df.rdd.getNumPartitions() * min_ratio < target:

@@ -149,3 +149,20 @@ def test_expire_snapshots_drops_unreferenced_data(spark, tmp_path):
     assert wh.read("t").count() == 5                  # current unharmed
     with pytest.raises(Exception):
         wh.read("t", version=1)
+
+
+def test_versioned_append_adopts_plain_table(spark, tmp_path):
+    """First snapshot commit onto a pre-existing plain-parquet table with
+    mode='append' must ADOPT the legacy files into the manifest — not
+    silently drop every pre-migration row (review finding)."""
+    root = str(tmp_path / "v5")
+    Warehouse(spark, root).write(spark.range(0, 40), "t")   # plain layout
+    wh = Warehouse(spark, root, versioned=True)
+    wh.write(spark.range(100, 110), "t", mode="append")     # migrate
+    assert wh.current_version("t") == 1
+    got = sorted(r["id"] for r in wh.read("t").collect())
+    assert got == list(range(0, 40)) + list(range(100, 110))
+    # expire must not choke on (or sweep) the adopted root-level files
+    wh.write(spark.range(0, 5), "t")                        # v2 overwrite
+    wh.expire_snapshots("t", keep_last=1)
+    assert wh.read("t").count() == 5

@@ -85,6 +85,24 @@ def test_outlinks_from_corpus_html(spark):
     assert 0 < len(rows) <= 40
 
 
+def test_outlinks_fragments_and_quotes(spark):
+    """Fragment-bearing hrefs contribute their fragment-STRIPPED target
+    (reference normalizeURL semantics), single-quoted hrefs are harvested,
+    and fragment-only anchors are dropped (review finding: the old char
+    class silently lost every href containing '#')."""
+    html = (
+        '<p><a href="http://s/x.html#top">x</a>'
+        "<a href='http://s/y.html'>y</a>"
+        '<a href="#local">skip</a>'
+        '<a href="http://s/x.html">dup after strip</a></p>'
+    )
+    df = spark.createDataFrame(
+        [("http://me/", html)], "url string, html string"
+    )
+    got = sorted(r["dst"] for r in PR.outlinks(df).collect())
+    assert got == ["http://s/x.html", "http://s/y.html"]
+
+
 def test_synthetic_edges_no_self_loops_no_dangling(spark):
     docs = spark.range(0, 97).withColumnRenamed("id", "doc_id")
     e = PR.synthetic_edges(docs, 97)

@@ -483,6 +483,46 @@ def test_widen_small_input_light_skips_tiny_files(spark, tmp_path):
     assert widen_small_input(narrow, light=True) is not narrow
 
 
+def test_widen_small_input_sees_through_bin_packing(spark, tmp_path):
+    """MANY tiny files can bin-pack into FEW scan partitions (when
+    minPartitionNum/openCost are tuned, e.g. under the build's pinned
+    maxPartitionBytes) — the many-files fast path must not mistake file
+    count for parallelism: with a collapsed scan, widen still widens."""
+    from search_engine_spark.session import widen_small_input
+
+    p = str(tmp_path / "frag.parquet")
+    spark.range(0, 1000).repartition(64).write.parquet(p)
+    conf = spark.conf
+    saved = {
+        k: conf.get(k, None)
+        for k in (
+            "spark.sql.files.minPartitionNum",
+            "spark.sql.files.openCostInBytes",
+            "spark.sql.files.maxPartitionBytes",
+        )
+    }
+    try:
+        conf.set("spark.sql.files.minPartitionNum", "1")
+        conf.set("spark.sql.files.openCostInBytes", "0")
+        conf.set("spark.sql.files.maxPartitionBytes", str(1 << 40))
+        scan = spark.read.parquet(p)
+        assert len(scan.inputFiles()) >= 32
+        packed = scan.rdd.getNumPartitions()
+        assert packed * 2 < spark.sparkContext.defaultParallelism
+        out = widen_small_input(scan)
+        assert out is not scan
+        assert (
+            out.rdd.getNumPartitions()
+            == spark.sparkContext.defaultParallelism
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
+
+
 def test_asof_join_semantics(spark):
     """<= inclusivity, no-prior-match nulls, and greatest-tiebreak on
     timestamp ties."""
@@ -694,6 +734,11 @@ def test_canonical_url_crafted(spark):
         ("http://u:p@Host.NET/Path", "http://u:p@host.net/Path"),
         ("http://ex.com", "http://ex.com"),
         ("no-scheme/Path/", "no-scheme/Path"),
+        # a slash ending a QUERY value is data, not path decoration:
+        # stripping it would alias distinct resources (review finding)
+        ("http://ex.com/redirect?to=/", "http://ex.com/redirect?to=/"),
+        ("http://ex.com/p?q=a/", "http://ex.com/p?q=a/"),
+        ("http://ex.com/p/?q=1", "http://ex.com/p/?q=1"),
     ]
     df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
     got = [r[0] for r in df.select(U.canonical_url("url")).collect()]
@@ -750,3 +795,12 @@ def test_url_dedup_and_domain_stats(spark):
     assert stats["a.com"]["n_hosts"] == 2      # a.com + b.a.com
     assert stats["a.com"]["n_langs"] == 2
     assert stats["c.org"]["n_docs"] == 1
+
+
+def test_simhash_gather_chunking_exact(spark, docs):
+    """gather_chunk=1 forces every document into its own reduceat slice
+    (the memory-bounded multi-chunk path); signatures must be
+    bit-identical to the default single-slice path."""
+    want = {tuple(r) for r in D.simhash(docs).collect()}
+    got = {tuple(r) for r in D.simhash(docs, gather_chunk=1).collect()}
+    assert got == want and len(got) == 6
