@@ -281,7 +281,9 @@ BATCH_QUERIES = {0: "spark table join", 1: "window", 2: "customer stream vector"
 def q_bm25_batch(spark, sf_dir):
     """Bulk query evaluation: 3 queries, ONE pruned scan + decode."""
     idx = _cached_index(spark, sf_dir)
-    return IQ.topk_batch(idx, BATCH_QUERIES, k=15)
+    # decimals=6: ranks must be computed on the same 6-dp values the
+    # cross-engine oracle ranks on (library default stays SCORE_ROUND)
+    return IQ.topk_batch(idx, BATCH_QUERIES, k=15, decimals=6)
 
 
 def q_topk_urls(spark, sf_dir):
@@ -303,7 +305,7 @@ def q_topk_urls(spark, sf_dir):
         ).alias("html"),
     )
     return IQ.topk_with_urls(
-        idx, corpus, "spark table join", k=20, html_col="html"
+        idx, corpus, "spark table join", k=20, html_col="html", decimals=6
     )
 
 

@@ -174,10 +174,11 @@ class _RunningIds:
     Rows of one ``_pid`` arrive as ONE contiguous run per task (parquet
     preserves in-file row order; snapshot files are written one per
     partition and read whole). docid = offset[pid] + ordinal within the
-    run. The closed-set assertion turns any violation of the contiguity
-    assumption (e.g. a snapshot file split across read tasks after a
-    mis-configured ``maxPartitionBytes``) into a loud failure instead of
-    silent misnumbering.
+    run. The closed-set assertion catches WITHIN-task non-contiguity
+    (interleaved pids). It cannot see a snapshot file split ACROSS tasks
+    (both halves would restart the pid's counter at offset+0 in separate
+    workers) — that failure is caught by the global count/distinct/max
+    docid invariant checked in ``_build_index_inner``.
     """
 
     def __init__(self, offsets: dict[int, int]):
@@ -244,7 +245,10 @@ def tokenize_postings_from_snapshot(
     from search_engine_spark.oracle.text import extract_text
 
     content_col = "html" if from_html else "text"
-    snap = spark.read.parquet(snap_path).select("url", content_col, "_pid")
+    # column-pruned: urls are NOT read here (docid_url_table has its own
+    # pruned pass) — the content column dominates this scan, don't pay a
+    # second full url decode on the biggest read of the build
+    snap = spark.read.parquet(snap_path).select(content_col, "_pid")
     b_off = spark.sparkContext.broadcast(offsets)
     kw = {} if cap is None else {"cap": cap}
 
@@ -282,8 +286,8 @@ def tokenize_postings_from_snapshot(
             return out
 
         for batch in batches:
-            texts_in = batch.column(1).to_pylist()
-            docids_in = ids.assign(batch.column(2).to_pylist())
+            texts_in = batch.column(0).to_pylist()
+            docids_in = ids.assign(batch.column(1).to_pylist())
             for did, txt in zip(docids_in, texts_in):
                 if from_html:
                     txt = extract_text(txt or b"")
@@ -638,8 +642,9 @@ def _build_index_inner(
 
     # doc table + global stats; dl is carried on posting rows — one
     # max-aggregation against the column-pruned (docid, url) map.
+    id_map = docid_url_table(spark, snap_path, offsets)
     doc_tbl = postings.groupBy("docid").agg(F.max("dl").alias("dl")).join(
-        docid_url_table(spark, snap_path, offsets), "docid"
+        id_map, "docid"
     )
     wh.write(
         doc_tbl.repartitionByRange(max(1, parts // 4), "docid")
@@ -655,6 +660,28 @@ def _build_index_inner(
     ).collect()[0]
     n_docs = int(stats_row["n_docs"])
     avgdl = float(stats_row["avgdl"] or 0.0)
+
+    # GLOBAL docid backstop + docid-space size. Token-less pages consume a
+    # docid but never reach postings/docs (n_docs excludes them), so the
+    # assigned ID SPACE can exceed n_docs — merge shifts must use the
+    # space, not n_docs, or shifted b-side ids collide with a-side ids.
+    # The same aggregate is the REAL loud backstop for split snapshot
+    # files: per-task _RunningIds cannot see a duplicate produced by
+    # another task, but a global count/distinct/max mismatch can.
+    idrow = id_map.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("docid").alias("nd"),
+        F.max("docid").alias("mx"),
+    ).collect()[0]
+    docid_space = int(idrow["n"])
+    if idrow["nd"] != docid_space or (
+        docid_space and idrow["mx"] + 1 != docid_space
+    ):
+        raise RuntimeError(
+            f"docid assignment corrupt: {docid_space} rows, "
+            f"{idrow['nd']} distinct ids, max {idrow['mx']} "
+            "(snapshot file split across tasks?)"
+        )
 
     terms = term_stats(postings, n_docs)
     wh.write(
@@ -675,6 +702,7 @@ def _build_index_inner(
     wh.write(blocks, "postings")
     stats = {
         "n_docs": n_docs,
+        "docid_space": docid_space,
         "avgdl": avgdl,
         "stem": stem,
         "cap": cap,

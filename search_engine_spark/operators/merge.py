@@ -6,10 +6,13 @@ posting-list union, doc tables concatenated.
 
 Block-level fast path (why the index stores what it stores):
 
-* b-side docids are shifted by a.n_docs. Inside a delta-gap encoded block
-  only the FIRST docid is absolute (gaps are invariant under a constant
-  shift), so shifting a block = re-encoding ONE varint and splicing bytes —
-  no posting decode, no re-sort.
+* b-side docids are shifted by a's DOCID SPACE (assigned ids, which can
+  exceed n_docs when token-less pages consumed ids without ever reaching
+  postings — shifting by n_docs would collide b's low ids with a's high
+  ones). Inside a delta-gap encoded block only the FIRST docid is absolute
+  (gaps are invariant under a constant shift), so shifting a block =
+  re-encoding ONE varint and splicing bytes — no posting decode, no
+  re-sort.
 * block_max is stored idf-FREE (max of the tf/dl-normalized BM25 partial);
   df changes under merge, so idf changes — but the stored bound doesn't.
   The query engine multiplies the merged idf at read time, keeping WAND
@@ -38,6 +41,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.functions import pandas_udf
 
+from search_engine_spark.catalog import Warehouse
 from search_engine_spark.functions.codec import varint_decode, varint_encode
 from search_engine_spark.operators.text_ops import bm25_idf_col
 
@@ -81,7 +85,9 @@ def merge_indexes(
         sa = json.load(fh)
     with open(os.path.join(b_dir, "stats.json")) as fh:
         sb = json.load(fh)
-    shift = sa["n_docs"]
+    # docid_space falls back to n_docs for pre-space indexes (equal unless
+    # the corpus contained token-less pages)
+    shift = sa.get("docid_space", sa["n_docs"])
     n_docs = sa["n_docs"] + sb["n_docs"]
     avgdl = (
         (sa["avgdl"] * sa["n_docs"] + sb["avgdl"] * sb["n_docs"]) / n_docs
@@ -91,8 +97,13 @@ def merge_indexes(
     scale_a = _bound_scale(sa["avgdl"], avgdl)
     scale_b = _bound_scale(sb["avgdl"], avgdl)
 
-    pa_ = spark.read.parquet(os.path.join(a_dir, "postings"))
-    pb = spark.read.parquet(os.path.join(b_dir, "postings"))
+    # reads resolve through the Warehouse so versioned (snapshot-manifest)
+    # and Iceberg-backed indexes merge too — raw parquet paths would find
+    # nothing at a versioned table's root
+    wa = Warehouse(spark, a_dir)
+    wb = Warehouse(spark, b_dir)
+    pa_ = wa.read("postings")
+    pb = wb.read("postings")
     max_bucket = pa_.agg(F.max("bucket")).collect()[0][0] or 0
     bucket_off = int(max_bucket) + 1
 
@@ -121,8 +132,8 @@ def merge_indexes(
         .parquet(os.path.join(out_dir, "postings"))
     )
 
-    ta = spark.read.parquet(os.path.join(a_dir, "terms"))
-    tb = spark.read.parquet(os.path.join(b_dir, "terms"))
+    ta = wa.read("terms")
+    tb = wb.read("terms")
     terms = (
         ta.select("term", "df", "cf")
         .unionByName(tb.select("term", "df", "cf"))
@@ -134,8 +145,8 @@ def merge_indexes(
         "term"
     ).write.mode("overwrite").parquet(os.path.join(out_dir, "terms"))
 
-    da = spark.read.parquet(os.path.join(a_dir, "docs"))
-    db = spark.read.parquet(os.path.join(b_dir, "docs")).withColumn(
+    da = wa.read("docs")
+    db = wb.read("docs").withColumn(
         "docid", F.col("docid") + F.lit(shift)
     )
     docs = da.unionByName(db)
@@ -144,7 +155,12 @@ def merge_indexes(
     ).write.mode("overwrite").parquet(os.path.join(out_dir, "docs"))
 
     stats = dict(sa)
-    stats.update({"n_docs": n_docs, "avgdl": avgdl, "merged_from": [a_dir, b_dir]})
+    stats.update({
+        "n_docs": n_docs,
+        "docid_space": shift + sb.get("docid_space", sb["n_docs"]),
+        "avgdl": avgdl,
+        "merged_from": [a_dir, b_dir],
+    })
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, "stats.json"), "w") as fh:
         json.dump(stats, fh, indent=1)

@@ -47,9 +47,13 @@ from search_engine_spark.oracle.text import STOPWORDS, tokenize
 # in one plan but not another and flips the emitted ranking. 9 dp is far
 # below any meaningful score difference yet ~10^7 ulps wide, so the
 # tie-break — and therefore the ranking — is identical for every plan and
-# parallelism level. Internal pruning thresholds (WAND theta, block-max
-# sums) stay raw: rounding is an emission contract, not scoring math.
+# parallelism level. WAND's top-k heap holds ROUNDED scores too (so its
+# k-boundary tie semantics match the declarative paths), which makes its
+# pruning thresholds rounded: every prune test is slackened by
+# SCORE_SLACK so a doc whose rounded score could still tie the rounded
+# theta is never skipped — pruning stays exact under the contract.
 SCORE_ROUND = 9
+SCORE_SLACK = 10.0 ** -SCORE_ROUND
 
 
 @dataclass
@@ -526,7 +530,8 @@ def topk_over_segments(
 
 
 def topk_batch(
-    index: Index, queries: dict[int, str], k: int = 100
+    index: Index, queries: dict[int, str], k: int = 100,
+    decimals: int = SCORE_ROUND,
 ) -> DataFrame:
     """(qid, docid, score, rank) — top-k for MANY queries in ONE Spark plan.
 
@@ -596,7 +601,11 @@ def topk_batch(
             ),
         )
         .groupBy("qid", "docid")
-        .agg(F.round(F.sum("part"), 6).alias("score"))
+        # rank on the same emission-rounded value (decimals defaults to
+        # the library-wide SCORE_ROUND so batch and single-query paths
+        # implement ONE tie semantics; gate entries pass 6 to rank on the
+        # exact values their cross-engine oracle ranks on)
+        .agg(F.round(F.sum("part"), decimals).alias("score"))
     )
     w = Window.partitionBy("qid").orderBy(
         F.col("score").desc(), F.col("docid").asc()
@@ -674,15 +683,18 @@ class _Cursor:
         return self.blocks[self.bi][1]
 
     def next_geq(self, target: int) -> None:
-        """Advance to the first posting with docid >= target."""
+        """Advance to the first posting with docid >= target. Skipped
+        blocks are passed over on METADATA alone — only the landing block
+        decodes (the whole point of block-max skipping; decoding each
+        intermediate block made a long skip cost O(skipped) decodes)."""
+        moved = False
         while not self.exhausted and self.blocks[self.bi][1] < target:
             self.bi += 1
-            if self.bi < len(self.blocks):
-                self._load()
+            moved = True
         if self.exhausted:
             self.docids = self.tfs = self.dls = self._EMPTY
             return
-        if not len(self.docids):
+        if moved or not len(self.docids):
             self._load()
         # binary search within the decoded block (never moves backwards:
         # postings before pi are already consumed)
@@ -690,9 +702,10 @@ class _Cursor:
             self.pi, int(np.searchsorted(self.docids, target, side="left"))
         )
         if self.pi >= len(self.docids):
-            # target falls between this block and the next
+            # current block fully consumed; move on without decoding — the
+            # recursion's metadata loop picks the landing block
             self.bi += 1
-            self._load()
+            self.docids = self.tfs = self.dls = self._EMPTY
             if self.exhausted:
                 return
             self.next_geq(target)
@@ -846,7 +859,7 @@ def topk_wand(
         pivot_i = -1
         for i, c in enumerate(live):
             acc += c.ub
-            if len(heap) < k or acc > theta:
+            if len(heap) < k or acc > theta - SCORE_SLACK:
                 pivot_i = i
                 break
         if pivot_i < 0:
@@ -860,14 +873,18 @@ def topk_wand(
             # then test the block-max sum against theta.
             group = [c for c in live if c.doc <= pivot_doc]
             for c in group:
+                # metadata-only shallow advance; decode once on landing
+                moved = False
                 while not c.exhausted and c.block_last < pivot_doc:
                     c.bi += 1
+                    moved = True
+                if moved:
                     c._load()
             group = [c for c in group if not c.exhausted]
             if not group:
                 continue
             bm_sum = sum(c.block_max for c in group)
-            if bm_sum <= theta:
+            if bm_sum <= theta - SCORE_SLACK:
                 # No doc in [pivot_doc, boundary] scored from the group's
                 # current blocks can beat theta; jump past the smallest
                 # block boundary, clamped at the next non-group cursor's doc
@@ -904,7 +921,10 @@ def topk_wand(
             if not c.exhausted and c.doc == pivot_doc:
                 s += bm25_term_score(c.tf, c.dl, avgdl, c.idf)
                 c.advance()
-        push(pivot_doc, s)
+        # the heap holds the EMITTED (rounded) score: at the k boundary the
+        # raw comparison could keep a doc the rounded (score desc, docid
+        # asc) contract would drop
+        push(pivot_doc, round(s, SCORE_ROUND))
 
     out = sorted(
         ((-d, round(s, SCORE_ROUND)) for s, d in heap),
@@ -927,7 +947,14 @@ def snippet_expr(
 ) -> "F.Column":
     """Deterministic snippet: ``snippet_len`` chars starting ``context``
     before the first occurrence of any query term (1 if none match).
-    Built-ins only; exactly mirrorable in SQL (``snippet_sql``)."""
+    Built-ins only; exactly mirrorable in SQL (``snippet_sql``).
+
+    ``terms`` may be EMPTY (reachable whenever every raw query token is a
+    stopword but its stem still scores, e.g. "was" → dual-indexed "wa"):
+    the snippet is then the document head — F.least() with zero columns
+    would throw at plan build."""
+    if not terms:
+        return F.substring(F.col(text_col), 1, snippet_len)
     lowered = F.lower(F.col(text_col))
     poss = [
         F.nullif(F.instr(lowered, t), F.lit(0)) for t in terms
@@ -943,6 +970,8 @@ def snippet_sql(
     context: int = 30,
 ) -> str:
     """DuckDB mirror of ``snippet_expr``."""
+    if not terms:
+        return f"substr({text_col}, 1, {snippet_len})"
     poss = ", ".join(
         f"nullif(strpos(lower({text_col}), '{t}'), 0)" for t in terms
     )
@@ -973,6 +1002,7 @@ def topk_with_urls(
     text_col: str = "text",
     snippet_len: int = 120,
     html_col: str | None = None,
+    decimals: int = SCORE_ROUND,
 ) -> DataFrame:
     """(docid, url, score[, title], snippet) — the user-facing answer the
     reference frontend returns (url + title + snippet per hit,
@@ -1004,7 +1034,8 @@ def topk_with_urls(
         F.col(url_col).alias("url"),
         snippet_expr(snip_terms, text_col, snippet_len).alias("snippet"),
     ]
-    out_cols = ["docid", "url", F.round("score", 6).alias("score"), "snippet"]
+    out_cols = ["docid", "url",
+                F.round("score", decimals).alias("score"), "snippet"]
     if html_col is not None:
         h = F.col(html_col)
         if dict(corpus.dtypes).get(html_col) == "binary":
@@ -1160,6 +1191,11 @@ def phrase_docs_distributed(index: Index, phrase: str) -> DataFrame:
         index.postings.filter(F.col("term").isin(uniq))
         .select("term", "block")
         .mapInPandas(decode_pos, schema="term string, docid long, pos long")
+        # materialize ONCE: every phrase-offset leg below filters this
+        # relation, and without a boundary each join branch re-runs the
+        # pruned scan + Arrow position decode (an n-token phrase decoded
+        # the union of posting lists n times)
+        .localCheckpoint(eager=False)
     )
     legs = []
     for t, t_offs in offs.items():

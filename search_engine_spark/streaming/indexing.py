@@ -64,7 +64,11 @@ def _fold(
     mid-cascade leaves the previous tree on disk and the stream checkpoint
     uncommitted, so the batch replays against the old tree (merge/build
     outputs are overwrite-mode, so half-written orphans are reused or
-    ignored). Replaced inputs are deleted only after the state commit."""
+    ignored). Replaced inputs are deleted only after the state commit —
+    EXCEPT the directory the committed SERVING pointer references: a
+    query process resolving the pointer mid-ingest must never find a
+    deleted path, so the previous serving index survives until the
+    pointer moves (then ``vacuum`` or the next reclaim removes it)."""
     levels: dict = state["levels"]
     replaced: list[str] = []
     level = 0
@@ -78,8 +82,17 @@ def _fold(
         level += 1
     levels[str(level)] = idx_dir
     _save_state(work_dir, state)
-    for d in replaced:
-        shutil.rmtree(d, ignore_errors=True)
+    _reclaim(work_dir, replaced)
+
+
+def _reclaim(work_dir: str, dirs: list[str]) -> None:
+    """Delete merged-away index dirs, sparing the committed SERVING
+    target (still resolvable by concurrent readers until the pointer is
+    rewritten; reclaimed by vacuum()/a later pass afterwards)."""
+    serving = _read_pointer(work_dir)
+    for d in dirs:
+        if d != serving:
+            shutil.rmtree(d, ignore_errors=True)
 
 
 def run_ingest(
@@ -139,24 +152,31 @@ def run_ingest(
             acc = out
         state["levels"] = {str(order[0]): acc}
         _save_state(work_dir, state)
-        for d in replaced:
-            shutil.rmtree(d, ignore_errors=True)
+    else:
+        replaced = []
+    # flip the pointer BEFORE reclaiming: the old serving index stays
+    # resolvable for concurrent readers right up to the atomic rename,
+    # and once the pointer moves it is no longer protected
     tmp = os.path.join(work_dir, "SERVING.tmp")
     with open(tmp, "w") as fh:
         fh.write(acc)
     os.replace(tmp, os.path.join(work_dir, "SERVING"))
+    _reclaim(work_dir, replaced)
     return acc
 
 
 def vacuum(work_dir: str) -> list[str]:
     """Remove orphan index dirs not referenced by the committed LEVELS
     state (left by a crash between a merge and its input deletion, or by
-    a replayed batch). Safe by construction: the state file is the only
-    source of truth and is committed atomically BEFORE inputs are
-    reclaimed, so anything unreferenced is garbage. Returns the removed
-    paths."""
+    a replayed batch). Safe by construction: the state file and SERVING
+    pointer are the only sources of truth and both commit atomically
+    BEFORE inputs are reclaimed, so anything neither references is
+    garbage. Returns the removed paths."""
     state = _load_state(work_dir)
     live = set(state["levels"].values())
+    serving = _read_pointer(work_dir)
+    if serving:
+        live.add(serving)
     removed = []
     for name in sorted(os.listdir(work_dir)):
         p = os.path.join(work_dir, name)

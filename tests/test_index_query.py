@@ -146,15 +146,18 @@ def test_topk_strategies_identical(index, oracle, q):
 
 
 def test_topk_batch_matches_oracle(index, oracle):
-    """One plan for many queries ≡ per-query oracle top-k (rounded 6dp)."""
+    """One plan for many queries ≡ per-query oracle top-k, at BOTH
+    emission precisions: the library default (SCORE_ROUND) and the
+    6-dp variant the cross-engine gate ranks on."""
     batch = {i: q for i, q in enumerate(QUERIES[:6])}
-    rows = Q.topk_batch(index, batch, k=25).collect()
-    got: dict[int, list[tuple[int, float]]] = {}
-    for r in sorted(rows, key=lambda r: (r["qid"], r["rank"])):
-        got.setdefault(r["qid"], []).append((r["docid"], r["score"]))
-    for qid, q in batch.items():
-        want = [(d, round(s, 6)) for d, s in oracle.topk(q, k=25)]
-        assert got.get(qid, []) == want, q
+    for decimals in (Q.SCORE_ROUND, 6):
+        rows = Q.topk_batch(index, batch, k=25, decimals=decimals).collect()
+        got: dict[int, list[tuple[int, float]]] = {}
+        for r in sorted(rows, key=lambda r: (r["qid"], r["rank"])):
+            got.setdefault(r["qid"], []).append((r["docid"], r["score"]))
+        for qid, q in batch.items():
+            want = [(d, round(s, decimals)) for d, s in oracle.topk(q, k=25)]
+            assert got.get(qid, []) == want, (q, decimals)
 
 
 def test_wand_small_k_prunes_but_exact(index, oracle):
@@ -298,3 +301,23 @@ def test_versioned_index_rebuild_time_travel(spark, tmp_path_factory):
     rolled_back = [(r["docid"], r["score"])
                    for r in Q.topk_distributed(idx_v1, q, k=10).collect()]
     assert rolled_back == v1_top
+
+
+def test_topk_with_urls_stopword_stem_query(spark, index):
+    """Query 'was': every raw token is a stopword but the dual-indexed
+    stem 'wa' scores — snippet term list is then EMPTY and snippet_expr
+    previously crashed on F.least() with zero columns (review finding).
+    The snippet must fall back to the document head."""
+    corpus = gen_pages_df(spark, N_DOCS, partitions=4)
+    out = Q.topk_with_urls(index, corpus, "was", k=5)
+    rows = out.collect()
+    assert rows, "'was' occurs in the synthetic corpus"
+    for r in rows:
+        assert r["snippet"]           # head-of-document fallback
+        assert r["url"]
+    # the SQL mirror of the empty-terms snippet is valid SQL too
+    import duckdb
+
+    assert duckdb.connect().execute(
+        f"SELECT {Q.snippet_sql([], 't')} FROM (SELECT 'hello world' AS t)"
+    ).fetchone()[0] == "hello world"

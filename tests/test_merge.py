@@ -129,3 +129,59 @@ def test_three_segment_query_matches_union_build(spark, dirs, tmp_path_factory):
         assert [d for d, _ in got] == [d for d, _ in want]
         for (gd, gs), (wd, ws) in zip(got, want):
             assert gs == pytest.approx(ws, abs=1e-9)
+
+
+def _pages(spark, rows):
+    return spark.createDataFrame(
+        [(u, "2024-01-01T00:00:00Z", "", t, "en") for u, t in rows],
+        "url string, warc_ts string, html string, text string, lang string",
+    )
+
+
+def test_merge_shift_uses_docid_space_not_n_docs(spark, tmp_path_factory):
+    """A token-less page consumes a docid but never reaches docs/postings
+    (n_docs < docid space). Shifting the b side by n_docs collided b's
+    first doc with a's last (review finding); the shift must use the
+    assigned docid SPACE."""
+    base = tmp_path_factory.mktemp("space")
+    a_dir, b_dir, m_dir = str(base / "a"), str(base / "b"), str(base / "m")
+    sa = build_index(
+        _pages(spark, [("u0", "alpha beta"), ("u1", "..."),  # token-less!
+                       ("u2", "alpha gamma")]),
+        a_dir, stem=False, partitions=2,
+    )
+    assert sa["n_docs"] == 2 and sa["docid_space"] == 3
+    build_index(
+        _pages(spark, [("v0", "delta epsilon"), ("v1", "beta delta")]),
+        b_dir, stem=False, partitions=2,
+    )
+    stats = merge_indexes(spark, a_dir, b_dir, m_dir)
+    assert stats["docid_space"] == 5
+    idx = Q.load_index(spark, m_dir)
+    docs = idx.docs.collect()
+    ids = [r["docid"] for r in docs]
+    assert len(ids) == len(set(ids)) == 4          # no collisions
+    by_url = {r["url"]: r["docid"] for r in docs}
+    assert by_url["v0"] == 3 and by_url["v1"] == 4  # shifted past the SPACE
+    # the b-side postings landed at the shifted ids: query proves it
+    got = {d for d, _s in Q.topk_wand(idx, "delta", k=10)}
+    assert got == {3, 4}
+    got = {d for d, _s in Q.topk_wand(idx, "alpha", k=10)}
+    assert got == {0, 2}
+
+
+def test_merge_versioned_indexes(spark, tmp_path_factory):
+    """merge_indexes must resolve tables through the Warehouse so indexes
+    built with versioned=True (snapshot manifests, no parquet at the table
+    root) merge too (review finding: raw parquet reads found nothing)."""
+    base = tmp_path_factory.mktemp("vmerge")
+    a_dir, b_dir, m_dir = str(base / "a"), str(base / "b"), str(base / "m")
+    build_index(_pages(spark, [("u0", "alpha beta beta")]),
+                a_dir, stem=False, partitions=2, versioned=True)
+    build_index(_pages(spark, [("v0", "beta gamma")]),
+                b_dir, stem=False, partitions=2, versioned=True)
+    merge_indexes(spark, a_dir, b_dir, m_dir)
+    idx = Q.load_index(spark, m_dir)
+    assert idx.docs.count() == 2
+    got = {d for d, _s in Q.topk_wand(idx, "beta", k=10)}
+    assert got == {0, 1}

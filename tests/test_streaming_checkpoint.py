@@ -285,3 +285,47 @@ def test_vacuum_removes_only_orphans(tmp_path):
         "idx_L1_2", "serving_9"
     ]
     assert (work / "idx_L0_1").exists() and (work / "_ckpt").exists()
+
+
+def test_serving_pointer_never_dangles(spark, tmp_path):
+    """The committed SERVING pointer must stay resolvable while later
+    ingests merge its target away (review finding: _fold rmtree'd the
+    pointer's directory mid-cascade, and vacuum() would too)."""
+    import os
+
+    from search_engine_spark.streaming import indexing as SI
+
+    pages = (
+        gen_pages_df(spark, 80, partitions=2)
+        .withColumn("rn", F.regexp_extract("url", r"/p/(\d+)\.html", 1).cast("long"))
+        .withColumn("url", F.format_string("%08d", F.col("rn")))
+        .persist()
+    )
+    src = str(tmp_path / "deliveries")
+    _deliver(spark, pages.filter("rn < 40").drop("rn"), src,
+             "d0.parquet", 1_000_000)
+    work = str(tmp_path / "work")
+    serving1 = SI.run_ingest(spark, src, work, lang="en", stem=False)
+    assert SI._read_pointer(work) == serving1 and os.path.isdir(serving1)
+
+    # the old serving index is now a tree level; fold a new chunk so the
+    # cascade MERGES it — the pointer target must survive the reclaim
+    state = SI._load_state(work)
+    assert serving1 in state["levels"].values()
+    chunk = str(tmp_path / "chunk")
+    build_index(pages.filter("rn >= 40").drop("rn"), chunk,
+                lang="en", stem=False, partitions=2)
+    SI._fold(spark, state, chunk, work)
+    assert os.path.isdir(serving1), "SERVING target deleted mid-ingest"
+    # vacuum also spares it while the pointer still references it
+    removed = SI.vacuum(work)
+    assert serving1 not in removed and os.path.isdir(serving1)
+    # a full second run flips the pointer, after which the old serving
+    # index becomes reclaimable garbage
+    _deliver(spark, pages.filter("rn >= 40").drop("rn"), src,
+             "d1.parquet", 1_000_001)
+    serving2 = SI.run_ingest(spark, src, work, lang="en", stem=False)
+    assert os.path.isdir(serving2) and SI._read_pointer(work) == serving2
+    SI.vacuum(work)
+    assert not os.path.isdir(serving1)  # unreferenced now → reclaimed
+    pages.unpersist()
