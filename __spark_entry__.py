@@ -760,6 +760,92 @@ def q_url_dedup(spark, sf_dir):
     return U.url_dedup(_messy_urls(spark, sf_dir))
 
 
+FRONTIER_HOST_CAP = 25
+
+
+def _frontier_pages(spark, sf_dir):
+    """documents + deterministic (url, html) so the crawl-frontier step is
+    fully oracle-mirrorable. Each page's html carries one anchor per
+    resolution/filter branch: absolute-with-:80-port, protocol-relative,
+    root-relative, path-relative, parent-relative (``../``), fragment-only
+    (dropped), mixed-case image extension (blacklisted), mailto (scheme-
+    filtered), trailing-slash dir (canonicalized), and a link into
+    ``seen.example`` (half of which the seen-set anti-join removes).
+    Mirrored by ``_FRONTIER_PAGES_SQL``."""
+    d = F.col("doc_id")
+
+    def s(col):
+        return col.cast("string")
+
+    src = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example/d/"),
+        s(d % 100), F.lit("/page"), s(d), F.lit(".html"),
+    )
+    html = F.concat(
+        F.lit('<a href="http://site'), s(d % 7), F.lit(".example:80/p/"),
+        s((d * 3) % 501), F.lit('.html">a</a>'),
+        F.lit('<a href="//cdn.example/lib/'), s(d % 11), F.lit('">b</a>'),
+        F.lit("<a href='/r/"), s(d % 53), F.lit("'>c</a>"),
+        F.lit('<a href="n/'), s(d % 13), F.lit('.html">d</a>'),
+        F.lit('<a href="../up/'), s(d % 5), F.lit('.html">e</a>'),
+        F.lit('<a href="#sec">f</a>'),
+        F.lit('<a href="/img/'), s(d % 9), F.lit('.Png">g</a>'),
+        F.lit('<a href="mailto:u@example.org">h</a>'),
+        F.lit('<a href="/dir'), s(d % 4), F.lit('/">i</a>'),
+        F.lit('<a href="https://seen.example/s/'), s(d % 20), F.lit('">j</a>'),
+    )
+    return _docs(spark, sf_dir).select(src.alias("url"), html.alias("html"))
+
+
+_FRONTIER_PAGES_SQL = """
+pages AS (
+  SELECT
+    concat('https://', source, '.example/d/', (doc_id % 100)::VARCHAR,
+           '/page', doc_id::VARCHAR, '.html') AS url,
+    concat(
+      '<a href="http://site', (doc_id % 7)::VARCHAR, '.example:80/p/',
+      ((doc_id * 3) % 501)::VARCHAR, '.html">a</a>',
+      '<a href="//cdn.example/lib/', (doc_id % 11)::VARCHAR, '">b</a>',
+      '<a href=''/r/', (doc_id % 53)::VARCHAR, '''>c</a>',
+      '<a href="n/', (doc_id % 13)::VARCHAR, '.html">d</a>',
+      '<a href="../up/', (doc_id % 5)::VARCHAR, '.html">e</a>',
+      '<a href="#sec">f</a>',
+      '<a href="/img/', (doc_id % 9)::VARCHAR, '.Png">g</a>',
+      '<a href="mailto:u@example.org">h</a>',
+      '<a href="/dir', (doc_id % 4)::VARCHAR, '/">i</a>',
+      '<a href="https://seen.example/s/', (doc_id % 20)::VARCHAR, '">j</a>'
+    ) AS html
+  FROM documents)
+"""
+
+_FRONTIER_SEEN_SQL = (
+    "SELECT DISTINCT concat('https://seen.example/s/', "
+    "(doc_id % 20)::VARCHAR) FROM documents WHERE doc_id % 2 = 0"
+)
+
+
+def q_frontier(spark, sf_dir):
+    """T11 (Crawler.java) as a batch operator: the next crawl wave —
+    anchor harvest → relative-link resolution → canonicalization →
+    scheme/extension filters → seen-set anti-join → per-host politeness
+    cap — over a deterministic link layer on the documents table."""
+    from search_engine_spark.operators import frontier as FR
+
+    pages = _frontier_pages(spark, sf_dir)
+    d = F.col("doc_id")
+    seen = (
+        _docs(spark, sf_dir)
+        .filter(d % 2 == 0)
+        .select(
+            F.concat(
+                F.lit("https://seen.example/s/"), (d % 20).cast("string")
+            ).alias("url")
+        )
+        .distinct()
+    )
+    return FR.frontier_step(pages, seen=seen, per_host_cap=FRONTIER_HOST_CAP)
+
+
 CURATION_Q_MIN = 0.528       # ~median en quality at sf0.01 — real cut
 CURATION_REP_MAX = 0.09      # ~p90 dup_bigram_frac — drops the worst tail
 
@@ -1116,6 +1202,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assign": q_split_assign,
         "domain_stats": q_domain_stats,
         "url_dedup": q_url_dedup,
+        "frontier": q_frontier,
         "curation_pipeline": q_curation_pipeline,
         "bm25_index_topk20": q_bm25_index_topk20,
         "bm25_index_pruned": q_bm25_index_pruned,
@@ -1906,6 +1993,14 @@ FROM fin
 WITH {_MESSY_URL_SQL}
 {U.url_dedup_sql(table="msdocs")}
 """
+
+    from search_engine_spark.operators import frontier as FR
+
+    sqls["frontier"] = FR.frontier_sql(
+        _FRONTIER_PAGES_SQL,
+        seen_sql=_FRONTIER_SEEN_SQL,
+        per_host_cap=FRONTIER_HOST_CAP,
+    )
 
     sqls["cosine_near_pairs"] = """
 WITH s AS (

@@ -1,0 +1,253 @@
+"""Crawl-frontier batch operator — the reference crawler's URL harvest as
+ONE declarative step.
+
+The crawl itself is out of scope (the input table IS the crawl's output,
+per the engine contract), but the reference's frontier logic — what a
+crawler would fetch NEXT from what it has — is pure relational algebra,
+and expressing it that way is exactly how a web-scale recrawl is planned:
+one batch job over the pages table emits the next fetch list.
+
+Reference semantics covered (/root/reference/src/cis5550/jobs/Crawler.java):
+
+* anchor-href harvest (:560-584)                  → ``pagerank.outlinks``
+* relative-link resolution against the page URL (:228-251): root-relative
+  (``/path``), path-relative (``rel/x``), leading-``..`` collapse
+                                                  → :func:`resolve_href`
+* scheme filter — http/https only (:182-183)      → :func:`frontier_step`
+* binary-extension blacklist ``.jpg .jpeg .gif .png .txt`` on the
+  lowercased NORMALIZED url (:219-223)            → :func:`frontier_step`
+* ``normalizeURL`` canonicalization (:121-307)    → ``urls.canonical_url``
+* seen-set check — skip URLs already in the crawl table (:706-778)
+                                                  → anti-join on ``seen``
+* per-host politeness (:441-497 hosts-table crawl delay): in a batch
+  frontier step, time-per-host becomes COUNT-per-host — ``per_host_cap``
+  keeps the next wave polite and kills host skew in the same stroke.
+
+Scale shape: extract+resolve+canonicalize is a pure map stage (JVM regex
+built-ins, whole-stage codegen, zero Python); ``distinct`` is one keyed
+exchange on the candidate url; the seen-check is a left_anti hash join
+(broadcast when the seen set is a bloom-filter-sized digest, shuffle join
+against the full crawl table otherwise); the politeness cap is one window
+over ``host`` — which is exactly the skew guard: no host contributes more
+than ``per_host_cap`` rows downstream no matter how link-spammy it is.
+
+Every step is mirrored in DuckDB SQL (``*_sql`` helpers) so the frontier
+is correctness-gated like every other operator. RE2-safe regex only (no
+lookaround, no backreferences in patterns).
+
+Contract notes (documented deltas from the reference's imperative code):
+``..`` collapse is bounded at 3 passes per resolution (covers nesting
+depth 3 — extend ``_COLLAPSE_PASSES`` for deeper trees); query strings on
+the BASE url do not participate in relative resolution (RFC 3986 — the
+reference inherits this from its URLParser).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from search_engine_spark.operators.pagerank import outlinks_col
+from search_engine_spark.operators.urls import (
+    _PREFIX_RE,
+    canonical_url,
+    canonical_url_sql,
+    url_host,
+    url_host_sql,
+)
+
+# absolute-reference test: ANY scheme makes an href absolute (RFC 3986;
+# 'mailto:u@h' must pass through to the scheme filter, not resolve as a
+# relative path against the base directory)
+_ABS_RE = r"^[A-Za-z][A-Za-z0-9+.-]*:"
+# scheme of the base url (group 1)
+_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*):"
+# one '/segment/../' hop; [^/]+ also matches '..' so chained hops reduce
+_DOTDOT_RE = r"/[^/]+/\.\./"
+_COLLAPSE_PASSES = 3
+# reference blacklist, tested on lower(normalized url) (Crawler.java:219)
+_EXT_BLACKLIST_RE = r"\.(jpg|jpeg|gif|png|txt)$"
+# level-1 politeness-cap fanout (see frontier_step): bounds the per-task
+# input of the per-host window without changing its result
+SALT_BUCKETS = 64
+
+
+def _strip_to_dir(base: Column) -> Column:
+    """``scheme://host[:port]/a/b.html?q`` → ``scheme://host[:port]/a/``
+    (the resolution directory of the base url; query/fragment dropped,
+    '/' when the base has no path)."""
+    noq = F.regexp_replace(base, r"[?#].*$", "")
+    origin = F.regexp_extract(noq, _PREFIX_RE, 1)
+    path = F.regexp_replace(noq, _PREFIX_RE, "")
+    dir_path = F.when(path == "", F.lit("/")).otherwise(
+        F.regexp_replace(path, r"/[^/]*$", "/")
+    )
+    return F.concat(origin, dir_path)
+
+
+def _collapse_dotdot(url: Column) -> Column:
+    """Collapse ``/seg/../`` hops in the PATH (origin never touched: the
+    path of a resolved url always starts with '/')."""
+    origin = F.regexp_extract(url, _PREFIX_RE, 1)
+    path = F.regexp_replace(url, _PREFIX_RE, "")
+    for _ in range(_COLLAPSE_PASSES):
+        path = F.regexp_replace(path, _DOTDOT_RE, "/")
+    # hops left dangling at the path root ('/../x') clamp to the root
+    path = F.regexp_replace(path, r"^(/\.\.)+/", "/")
+    return F.concat(origin, path)
+
+
+def resolve_href(base: Column, href: Column) -> Column:
+    """RFC-3986-style reference resolution, the declarative subset the
+    reference crawler implements (Crawler.java:228-251): absolute hrefs
+    pass through; ``//host/p`` inherits the base scheme; ``/p`` resolves
+    against the base origin; anything else resolves against the base
+    directory with bounded ``..`` collapse."""
+    origin = F.regexp_extract(base, _PREFIX_RE, 1)
+    scheme = F.regexp_extract(base, _SCHEME_RE, 1)
+    return (
+        F.when(href.rlike(_ABS_RE), href)
+        .when(href.startswith("//"), F.concat(scheme, F.lit(":"), href))
+        .when(href.startswith("/"), F.concat(origin, href))
+        .otherwise(_collapse_dotdot(F.concat(_strip_to_dir(base), href)))
+    )
+
+
+def frontier_step(
+    pages: DataFrame,
+    seen: DataFrame | None = None,
+    per_host_cap: int | None = None,
+    url: str = "url",
+    html: str = "html",
+) -> DataFrame:
+    """(host, url) — the next crawl wave: every NEW, fetchable, canonical
+    URL reachable from ``pages``, at most ``per_host_cap`` per host.
+
+    ``seen`` is a 1-column DataFrame of already-crawled canonical URLs
+    (pass the crawl table's own canonicalized url column to avoid
+    refetching); ``per_host_cap`` keeps the wave polite per host
+    (lowest-url-first within a host, deterministic).
+
+    The harvest inlines ``outlinks_col`` instead of reusing the
+    ``pagerank.outlinks`` edge table: the edge-level distinct there is a
+    full shuffle of the largest intermediate, and the url-level distinct
+    below subsumes it for frontier purposes."""
+    h = F.col(html)
+    if dict(pages.dtypes)[html] == "binary":
+        h = h.cast("string")
+    links = pages.select(
+        F.col(url).alias("src"), F.explode(outlinks_col(h)).alias("dst")
+    ).filter(F.col("src") != F.col("dst"))
+    cand = (
+        links.select(
+            canonical_url(
+                resolve_href(F.col("src"), F.col("dst"))
+            ).alias("url")
+        )
+        .filter(F.col("url").rlike(r"^https?://"))
+        .filter(~F.lower(F.col("url")).rlike(_EXT_BLACKLIST_RE))
+        .distinct()
+    )
+    if seen is not None:
+        seen_urls = seen.select(F.col(seen.columns[0]).alias("url"))
+        cand = cand.join(seen_urls, "url", "left_anti")
+    cand = cand.select(url_host("url").alias("host"), "url")
+    if per_host_cap is not None:
+        # two-level cap: a hot host (link-spam hub) would otherwise send
+        # its WHOLE candidate set to one window task. Level 1 caps within
+        # (host, url-hash salt) buckets — bounded skew by construction —
+        # so level 2's per-host window sees ≤ SALT_BUCKETS·cap rows per
+        # host. Result-identical to the single window (every global
+        # smallest-cap url survives its own bucket's local cap); the SQL
+        # mirror keeps the one-window form.
+        salt = F.pmod(F.xxhash64(F.col("url")), F.lit(SALT_BUCKETS))
+        w1 = Window.partitionBy("host", salt).orderBy(F.col("url").asc())
+        w2 = Window.partitionBy("host").orderBy(F.col("url").asc())
+        cand = (
+            cand.withColumn("_rn1", F.row_number().over(w1))
+            .filter(F.col("_rn1") <= per_host_cap)
+            .withColumn("_rn2", F.row_number().over(w2))
+            .filter(F.col("_rn2") <= per_host_cap)
+            .drop("_rn1", "_rn2")
+        )
+    return cand
+
+
+# ---------------------------------------------------------------------------
+# DuckDB SQL mirrors
+# ---------------------------------------------------------------------------
+
+def _strip_to_dir_sql(base: str) -> str:
+    noq = f"regexp_replace({base}, '[?#].*$', '')"
+    origin = f"regexp_extract({noq}, '{_PREFIX_RE}', 1)"
+    path = f"regexp_replace({noq}, '{_PREFIX_RE}', '')"
+    return (
+        f"concat({origin}, CASE WHEN {path} = '' THEN '/' "
+        f"ELSE regexp_replace({path}, '/[^/]*$', '/') END)"
+    )
+
+
+def _collapse_dotdot_sql(u: str) -> str:
+    origin = f"regexp_extract({u}, '{_PREFIX_RE}', 1)"
+    path = f"regexp_replace({u}, '{_PREFIX_RE}', '')"
+    for _ in range(_COLLAPSE_PASSES):
+        path = f"regexp_replace({path}, '{_DOTDOT_RE}', '/', 'g')"
+    path = f"regexp_replace({path}, '^(/\\.\\.)+/', '/')"
+    return f"concat({origin}, {path})"
+
+
+def resolve_href_sql(base: str, href: str) -> str:
+    origin = f"regexp_extract({base}, '{_PREFIX_RE}', 1)"
+    scheme = f"regexp_extract({base}, '{_SCHEME_RE}', 1)"
+    joined = f"concat({_strip_to_dir_sql(base)}, {href})"
+    return f"""CASE
+  WHEN regexp_matches({href}, '{_ABS_RE}') THEN {href}
+  WHEN {href} LIKE '//%' THEN concat({scheme}, ':', {href})
+  WHEN {href} LIKE '/%' THEN concat({origin}, {href})
+  ELSE {_collapse_dotdot_sql(joined)}
+END"""
+
+
+# anchor-href harvest (group 1), single- or double-quoted; fragment
+# stripped and fragment-only links dropped — mirror of
+# ``pagerank.outlinks_col``. SQL single quotes doubled.
+_HREF_RE_SQL = "'<a\\s+[^>]*href=[\"'']([^\"'']+)[\"'']'"
+
+
+def frontier_sql(
+    pages_cte: str,
+    seen_sql: str | None = None,
+    per_host_cap: int | None = None,
+) -> str:
+    """Full-pipeline DuckDB mirror of :func:`frontier_step` over a pages
+    relation named ``pages`` supplied by ``pages_cte`` (a WITH body
+    defining ``pages(url, html)``); ``seen_sql`` is a SELECT yielding one
+    canonical-url column."""
+    resolved = resolve_href_sql("src", "href")
+    cand = f"""
+links AS (
+  SELECT DISTINCT p.url AS src,
+         regexp_replace(u.href, '#.*$', '') AS href
+  FROM pages p, unnest(regexp_extract_all(p.html, {_HREF_RE_SQL}, 1)) AS u(href)
+),
+cand AS (
+  SELECT DISTINCT {canonical_url_sql(resolved)} AS url
+  FROM links
+  WHERE href <> '' AND href <> src
+),
+kept AS (
+  SELECT url FROM cand
+  WHERE regexp_matches(url, '^https?://')
+    AND NOT regexp_matches(lower(url), '{_EXT_BLACKLIST_RE}')
+)"""
+    base = f"{pages_cte},{cand}"
+    src = "kept"
+    if seen_sql is not None:
+        base += f",\nnew_urls AS (SELECT url FROM kept WHERE url NOT IN ({seen_sql}))"
+        src = "new_urls"
+    hosted = (
+        f"SELECT {url_host_sql('url')} AS host, url,"
+        f" row_number() OVER (PARTITION BY {url_host_sql('url')}"
+        f" ORDER BY url ASC) AS _rn FROM {src}"
+    )
+    cap = f"WHERE _rn <= {per_host_cap}" if per_host_cap is not None else ""
+    return f"WITH {base}\nSELECT host, url FROM ({hosted}) {cap}"

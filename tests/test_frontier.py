@@ -1,0 +1,98 @@
+"""Crawl-frontier operator: resolution branches against hand-computed
+expectations (the reference Crawler's link handling, Crawler.java:121-307 +
+:219-251), then full frontier_step semantics (seen anti-join + politeness
+cap) on a tiny synthetic page set."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from search_engine_spark.operators import frontier as FR
+
+BASE = "https://www.Example.com/a/b/page.html?q=1"
+
+# (href, expected resolved+canonicalized url or None when filtered out by
+# frontier_step's scheme/extension rules)
+CASES = [
+    # absolute passes through; canonicalization lowercases prefix, strips :80
+    ("HTTP://Other.example:80/X/y.html", "http://other.example/X/y.html"),
+    # protocol-relative inherits base scheme
+    ("//cdn.example/lib/j.js", "https://cdn.example/lib/j.js"),
+    # root-relative resolves against the origin (query of base ignored)
+    ("/top/z", "https://www.example.com/top/z"),
+    # path-relative resolves against the base DIRECTORY
+    ("sub/p.html", "https://www.example.com/a/b/sub/p.html"),
+    # one ../ hop drops one directory
+    ("../up.html", "https://www.example.com/a/up.html"),
+    # chained hops clamp at the path root
+    ("../../../deep.html", "https://www.example.com/deep.html"),
+    # trailing slash stripped by canonicalization
+    ("/dir/", "https://www.example.com/dir"),
+    # extension blacklist is case-insensitive on the normalized url
+    ("/img/pic.PNG", None),
+    ("/notes.txt", None),
+    # non-http(s) schemes filtered
+    ("mailto:u@example.org", None),
+    ("ftp://files.example/f", None),
+]
+
+
+def _page(spark, href):
+    return spark.createDataFrame(
+        [(BASE, f'<p><a class="l" href="{href}">t</a></p>')],
+        "url string, html string",
+    )
+
+
+def test_resolution_branches(spark):
+    for href, expected in CASES:
+        got = [
+            r["url"]
+            for r in FR.frontier_step(_page(spark, href)).collect()
+        ]
+        assert got == ([expected] if expected else []), (href, got)
+
+
+def test_fragment_only_and_self_links_dropped(spark):
+    html = f'<a href="#top">x</a><a href="{BASE}">self</a>'
+    df = spark.createDataFrame([(BASE, html)], "url string, html string")
+    assert FR.frontier_step(df).count() == 0
+
+
+def test_seen_anti_join(spark):
+    html = '<a href="/a">1</a><a href="/b">2</a>'
+    pages = spark.createDataFrame(
+        [("https://h.example/p", html)], "url string, html string"
+    )
+    seen = spark.createDataFrame(
+        [("https://h.example/a",)], "url string"
+    )
+    got = sorted(
+        r["url"] for r in FR.frontier_step(pages, seen=seen).collect()
+    )
+    assert got == ["https://h.example/b"]
+
+
+def test_per_host_cap_is_deterministic_lowest_urls(spark):
+    html = "".join(f'<a href="/p/{i:02d}">x</a>' for i in range(10))
+    pages = spark.createDataFrame(
+        [("https://h.example/", html)], "url string, html string"
+    )
+    out = FR.frontier_step(pages, per_host_cap=3).collect()
+    assert sorted(r["url"] for r in out) == [
+        f"https://h.example/p/{i:02d}" for i in range(3)
+    ]
+    assert {r["host"] for r in out} == {"h.example"}
+
+
+def test_dedup_across_pages(spark):
+    # the same target reached from two pages appears once
+    pages = spark.createDataFrame(
+        [
+            ("https://h.example/x", '<a href="/t">a</a>'),
+            ("https://h.example/y", '<a href="/t#frag">b</a>'),
+        ],
+        "url string, html string",
+    )
+    rows = FR.frontier_step(pages).collect()
+    assert [r["url"] for r in rows] == ["https://h.example/t"]
