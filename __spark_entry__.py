@@ -667,6 +667,13 @@ def q_token_counts(spark, sf_dir):
     return TS.token_counts(_docs(spark, sf_dir))
 
 
+def q_lm_score(spark, sf_dir):
+    """Unigram-LM cross-entropy per doc (the CCNet-family perplexity-
+    filter signal), self-scored against the corpus's own add-one-smoothed
+    model; integer micro-nat sums keep both engines bit-identical."""
+    return TS.lm_score(_docs(spark, sf_dir))
+
+
 def q_fingerprint(spark, sf_dir):
     return TS.fingerprint(_docs(spark, sf_dir))
 
@@ -1203,6 +1210,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_stats": q_domain_stats,
         "url_dedup": q_url_dedup,
         "frontier": q_frontier,
+        "lm_score": q_lm_score,
         "curation_pipeline": q_curation_pipeline,
         "bm25_index_topk20": q_bm25_index_topk20,
         "bm25_index_pruned": q_bm25_index_pruned,
@@ -2001,6 +2009,22 @@ WITH {_MESSY_URL_SQL}
         seen_sql=_FRONTIER_SEEN_SQL,
         per_host_cap=FRONTIER_HOST_CAP,
     )
+
+    sqls["lm_score"] = f"""
+WITH {TOKS_CTE},
+{FLAT_CTE},
+tot AS (SELECT count(*) AS n, count(DISTINCT term) AS v FROM flat),
+lp AS (
+  SELECT term,
+         floor(ln((count(*) + 1.0) / (tot.n + tot.v)) * 1e6)::BIGINT AS lp_micro
+  FROM flat, tot GROUP BY term, tot.n, tot.v
+)
+SELECT f.docid, count(*)::BIGINT AS n_tokens,
+       sum(lp.lp_micro)::BIGINT AS nats_micro,
+       round(-(sum(lp.lp_micro)::BIGINT) / 1000000.0 / count(*), 6) AS avg_nats
+FROM flat f JOIN lp USING (term)
+GROUP BY f.docid
+"""
 
     sqls["cosine_near_pairs"] = """
 WITH s AS (

@@ -52,6 +52,8 @@ BENCH_QUERIES = [
     "sessionize",
     "pagerank",
     "curation_pipeline",
+    "frontier",
+    "lm_score",
 ]
 
 

@@ -340,6 +340,93 @@ def repetition_stats(
     )
 
 
+LM_QUANT = 1e6  # per-term logprobs quantized to integer micro-nats
+
+
+def lm_logprob_table(
+    df: DataFrame, docid: str = "doc_id", text: str = "text"
+) -> DataFrame:
+    """(term, c, lp_micro) — add-one-smoothed unigram language model over
+    the corpus: p(t) = (c(t)+1) / (N+V). Logprobs are FLOOR-quantized to
+    integer micro-nats so every downstream sum is integer arithmetic —
+    associative, partitioning-independent, and bit-identical across
+    engines (only the V per-term quantizations involve floats, not the
+    N per-token sums). One keyed aggregation; N and V ride along via a
+    broadcast of the 1-row total."""
+    flat = df.select(
+        F.col(docid).alias("docid"),
+        F.explode(tokens_col(text)).alias("term"),
+    )
+    totals = flat.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("term").alias("v"),
+    )
+    counts = flat.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    return counts.crossJoin(F.broadcast(totals)).select(
+        "term",
+        "c",
+        F.floor(
+            F.log((F.col("c") + 1.0) / (F.col("n") + F.col("v"))) * F.lit(LM_QUANT)
+        )
+        .cast("long")
+        .alias("lp_micro"),
+    )
+
+
+def lm_score(
+    df: DataFrame,
+    docid: str = "doc_id",
+    text: str = "text",
+    lm: DataFrame | None = None,
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """(docid, n_tokens, nats_micro, avg_nats) — per-document unigram
+    cross-entropy, the perplexity-filter signal of the CCNet/CC-Net-family
+    webtext pipelines (docs whose token distribution is far from the
+    corpus LM are boilerplate or noise; filter on an ``avg_nats`` band).
+
+    ``lm`` defaults to the corpus's own unigram model
+    (:func:`lm_logprob_table`) — the self-scored form every curation run
+    starts from; pass a model trained on a clean reference corpus for the
+    CCNet setup proper (terms absent from that model are dropped by the
+    inner join — pre-extend the table with an OOV floor row per term if
+    unseen-mass scoring is wanted). ``nats_micro`` is an exact integer;
+    ``avg_nats`` divides it once at the end (deterministic given identical
+    integers).
+
+    Scale: one explode + one keyed agg per pass; the vocab table is
+    broadcast (Zipf keeps real vocabularies in the 10^6-10^8 range — set
+    ``broadcast_vocab=False`` past executor-memory scale for a shuffle
+    hash join on ``term``). Docs with zero tokens carry no signal and are
+    excluded."""
+    if lm is None:
+        lm = lm_logprob_table(df, docid, text)
+    lm = lm.select("term", "lp_micro")
+    if broadcast_vocab:
+        lm = F.broadcast(lm)
+    flat = df.select(
+        F.col(docid).alias("docid"),
+        F.explode(tokens_col(text)).alias("term"),
+    )
+    return (
+        flat.join(lm, "term")
+        .groupBy("docid")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("lp_micro").alias("nats_micro"),
+        )
+        .select(
+            "docid",
+            "n_tokens",
+            "nats_micro",
+            F.round(
+                -F.col("nats_micro") / F.lit(LM_QUANT) / F.col("n_tokens"),
+                Q_DECIMALS,
+            ).alias("avg_nats"),
+        )
+    )
+
+
 # PII patterns — deliberately restricted to syntax that Java regex (Spark)
 # and RE2 (DuckDB) interpret identically: character classes, bounded
 # quantifiers, \b word boundaries; no lookaround, no backreferences.

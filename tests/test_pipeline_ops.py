@@ -804,3 +804,34 @@ def test_simhash_gather_chunking_exact(spark, docs):
     want = {tuple(r) for r in D.simhash(docs).collect()}
     got = {tuple(r) for r in D.simhash(docs, gather_chunk=1).collect()}
     assert got == want and len(got) == 6
+
+
+def test_lm_score_semantics(spark):
+    # 9 docs of a common token, 1 doc of a rare one: the common-token docs
+    # must carry lower cross-entropy, and the exact value is checkable by
+    # hand from the add-one-smoothed unigram model.
+    rows = [(i, "common common common") for i in range(9)] + [(9, "rare")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["docid"]: r for r in TS.lm_score(df).collect()}
+    assert len(out) == 10
+    n, v = 28, 2  # 9*3 + 1 tokens, 2 terms
+    lp_common = math.floor(math.log((27 + 1) / (n + v)) * 1e6)
+    lp_rare = math.floor(math.log((1 + 1) / (n + v)) * 1e6)
+    assert out[0]["nats_micro"] == 3 * lp_common
+    assert out[9]["nats_micro"] == lp_rare
+    assert out[0]["avg_nats"] < out[9]["avg_nats"]
+    assert out[0]["n_tokens"] == 3 and out[9]["n_tokens"] == 1
+
+
+def test_lm_score_external_model(spark):
+    # scoring corpus B under model(A): shared terms score, OOV terms drop
+    # out of the inner join (documented contract)
+    a = spark.createDataFrame(
+        [(0, "alpha alpha beta")], "doc_id long, text string"
+    )
+    b = spark.createDataFrame(
+        [(0, "alpha unseen")], "doc_id long, text string"
+    )
+    lm = TS.lm_logprob_table(a)
+    out = TS.lm_score(b, lm=lm).collect()
+    assert len(out) == 1 and out[0]["n_tokens"] == 1  # 'unseen' dropped
