@@ -176,6 +176,34 @@ def main() -> None:
         ],
     )
 
+    # 7. crawl frontier: harvest/resolve/canonicalize is a codegen'd map
+    # stage; the seen-check broadcasts; the politeness cap is windowed
+    audit(
+        "crawl frontier step",
+        qs["frontier"](spark, sf_dir),
+        [
+            ("whole-stage codegen harvest",
+             lambda p: "WholeStageCodegen" in p or "*(" in p),
+            ("broadcast seen anti-join", lambda p: "BroadcastHashJoin" in p),
+            ("windowed per-host cap", lambda p: "Window" in p),
+            ("no Python in the harvest", lambda p: "MapInPandas" not in p
+             and "ArrowEvalPython" not in p and "BatchEvalPython" not in p),
+        ],
+    )
+
+    # 8. unigram-LM scoring: two keyed aggs + a broadcast vocab join,
+    # integer sums all the way
+    audit(
+        "unigram-LM cross-entropy",
+        qs["lm_score"](spark, sf_dir),
+        [
+            ("partial/final hash aggregation", lambda p: "HashAggregate" in p),
+            ("vocab broadcast join", lambda p: "BroadcastHashJoin" in p),
+            ("no Python", lambda p: "MapInPandas" not in p
+             and "ArrowEvalPython" not in p and "BatchEvalPython" not in p),
+        ],
+    )
+
     out = ["# PLANS.md — physical-plan audit\n\n",
            f"Generated by tools/explain_audit.py over `{sf_dir}`.\n\n"]
     all_ok = True
