@@ -831,16 +831,9 @@ _FRONTIER_SEEN_SQL = (
 )
 
 
-def q_frontier(spark, sf_dir):
-    """T11 (Crawler.java) as a batch operator: the next crawl wave —
-    anchor harvest → relative-link resolution → canonicalization →
-    scheme/extension filters → seen-set anti-join → per-host politeness
-    cap — over a deterministic link layer on the documents table."""
-    from search_engine_spark.operators import frontier as FR
-
-    pages = _frontier_pages(spark, sf_dir)
+def _frontier_seen(spark, sf_dir):
     d = F.col("doc_id")
-    seen = (
+    return (
         _docs(spark, sf_dir)
         .filter(d % 2 == 0)
         .select(
@@ -850,7 +843,53 @@ def q_frontier(spark, sf_dir):
         )
         .distinct()
     )
-    return FR.frontier_step(pages, seen=seen, per_host_cap=FRONTIER_HOST_CAP)
+
+
+def q_frontier(spark, sf_dir):
+    """T11 (Crawler.java) as a batch operator: the next crawl wave —
+    anchor harvest → relative-link resolution → canonicalization →
+    scheme/extension filters → seen-set anti-join → per-host politeness
+    cap — over a deterministic link layer on the documents table."""
+    from search_engine_spark.operators import frontier as FR
+
+    pages = _frontier_pages(spark, sf_dir)
+    return FR.frontier_step(
+        pages, seen=_frontier_seen(spark, sf_dir),
+        per_host_cap=FRONTIER_HOST_CAP,
+    )
+
+
+_FRONTIER_ROBOTS_SQL = (
+    "SELECT DISTINCT concat('site', (doc_id % 7)::VARCHAR, '.example')"
+    " AS host, concat('/p/', (doc_id % 3)::VARCHAR) AS disallow"
+    " FROM documents WHERE doc_id % 5 = 0"
+)
+
+
+def q_frontier_robots(spark, sf_dir):
+    """The frontier with robots.txt Disallow prefix rules honored
+    (Crawler.java:310-375, :260-275): every site host blocks /p/0* /p/1*
+    /p/2* paths; blocked urls never reach the politeness cap."""
+    from search_engine_spark.operators import frontier as FR
+
+    d = F.col("doc_id")
+    robots = (
+        _docs(spark, sf_dir)
+        .filter(d % 5 == 0)
+        .select(
+            F.concat(
+                F.lit("site"), (d % 7).cast("string"), F.lit(".example")
+            ).alias("host"),
+            F.concat(F.lit("/p/"), (d % 3).cast("string")).alias("disallow"),
+        )
+        .distinct()
+    )
+    return FR.frontier_step(
+        _frontier_pages(spark, sf_dir),
+        seen=_frontier_seen(spark, sf_dir),
+        per_host_cap=FRONTIER_HOST_CAP,
+        robots=robots,
+    )
 
 
 CURATION_Q_MIN = 0.528       # ~median en quality at sf0.01 — real cut
@@ -1210,6 +1249,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_stats": q_domain_stats,
         "url_dedup": q_url_dedup,
         "frontier": q_frontier,
+        "frontier_robots": q_frontier_robots,
         "lm_score": q_lm_score,
         "curation_pipeline": q_curation_pipeline,
         "bm25_index_topk20": q_bm25_index_topk20,
@@ -2008,6 +2048,13 @@ WITH {_MESSY_URL_SQL}
         _FRONTIER_PAGES_SQL,
         seen_sql=_FRONTIER_SEEN_SQL,
         per_host_cap=FRONTIER_HOST_CAP,
+    )
+
+    sqls["frontier_robots"] = FR.frontier_sql(
+        _FRONTIER_PAGES_SQL,
+        seen_sql=_FRONTIER_SEEN_SQL,
+        per_host_cap=FRONTIER_HOST_CAP,
+        robots_sql=_FRONTIER_ROBOTS_SQL,
     )
 
     sqls["lm_score"] = f"""

@@ -118,6 +118,7 @@ def frontier_step(
     per_host_cap: int | None = None,
     url: str = "url",
     html: str = "html",
+    robots: DataFrame | None = None,
 ) -> DataFrame:
     """(host, url) — the next crawl wave: every NEW, fetchable, canonical
     URL reachable from ``pages``, at most ``per_host_cap`` per host.
@@ -151,6 +152,10 @@ def frontier_step(
         seen_urls = seen.select(F.col(seen.columns[0]).alias("url"))
         cand = cand.join(seen_urls, "url", "left_anti")
     cand = cand.select(url_host("url").alias("host"), "url")
+    if robots is not None:
+        # robots BEFORE the cap: politeness budget is not spent on urls
+        # the crawler would refuse to fetch anyway
+        cand = apply_robots(cand, robots)
     if per_host_cap is not None:
         # two-level cap: a hot host (link-spam hub) would otherwise send
         # its WHOLE candidate set to one window task. Level 1 caps within
@@ -170,6 +175,47 @@ def frontier_step(
             .drop("_rn1", "_rn2")
         )
     return cand
+
+
+def apply_robots(
+    cand: DataFrame,
+    robots: DataFrame,
+    url: str = "url",
+    host: str = "host",
+) -> DataFrame:
+    """Drop candidates whose PATH starts with a Disallow prefix for their
+    host — the reference's robots.txt honoring (Crawler.java:310-375 parse,
+    :260-275 prefix check) as a batch filter. ``robots`` is a
+    (host, disallow) rule table (one row per rule, prefix semantics — the
+    reference matches ``relativeURL.startsWith(rule)``); candidates on
+    hosts with no rules pass through.
+
+    Shape: rules tables are small (one fetch per host) → broadcast join on
+    host, prefix test, left_anti of the hit set. Pure built-ins."""
+    path = F.regexp_replace(F.col(url), _PREFIX_RE, "")
+    hits = (
+        cand.join(F.broadcast(robots), cand[host] == robots["host"], "inner")
+        .filter(path.startswith(F.col("disallow")))
+        .select(F.col(url))
+        .distinct()
+    )
+    return cand.join(hits, url, "left_anti")
+
+
+def apply_robots_sql(cand_select: str, robots_sql: str) -> str:
+    """DuckDB mirror of :func:`apply_robots` over a (host, url) relation
+    produced by ``cand_select`` and a (host, disallow) rule set from
+    ``robots_sql``."""
+    return f"""
+WITH cand AS ({cand_select}),
+robots AS ({robots_sql}),
+blocked AS (
+  SELECT DISTINCT c.url
+  FROM cand c JOIN robots r ON c.host = r.host
+  WHERE starts_with(regexp_replace(c.url, '{_PREFIX_RE}', ''), r.disallow)
+)
+SELECT host, url FROM cand WHERE url NOT IN (SELECT url FROM blocked)
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -217,11 +263,14 @@ def frontier_sql(
     pages_cte: str,
     seen_sql: str | None = None,
     per_host_cap: int | None = None,
+    robots_sql: str | None = None,
 ) -> str:
     """Full-pipeline DuckDB mirror of :func:`frontier_step` over a pages
     relation named ``pages`` supplied by ``pages_cte`` (a WITH body
     defining ``pages(url, html)``); ``seen_sql`` is a SELECT yielding one
-    canonical-url column."""
+    canonical-url column; ``robots_sql`` a SELECT yielding
+    (host, disallow) prefix rules (applied before the cap, like the
+    operator)."""
     resolved = resolve_href_sql("src", "href")
     cand = f"""
 links AS (
@@ -244,10 +293,21 @@ kept AS (
     if seen_sql is not None:
         base += f",\nnew_urls AS (SELECT url FROM kept WHERE url NOT IN ({seen_sql}))"
         src = "new_urls"
-    hosted = (
-        f"SELECT {url_host_sql('url')} AS host, url,"
-        f" row_number() OVER (PARTITION BY {url_host_sql('url')}"
+    base += (
+        f",\nhosted AS (SELECT {url_host_sql('url')} AS host, url FROM {src})"
+    )
+    src = "hosted"
+    if robots_sql is not None:
+        base += f""",
+robots AS ({robots_sql}),
+allowed AS (
+  SELECT host, url FROM hosted WHERE url NOT IN (
+    SELECT DISTINCT c.url FROM hosted c JOIN robots r ON c.host = r.host
+    WHERE starts_with(regexp_replace(c.url, '{_PREFIX_RE}', ''), r.disallow)))"""
+        src = "allowed"
+    ranked = (
+        f"SELECT host, url, row_number() OVER (PARTITION BY host"
         f" ORDER BY url ASC) AS _rn FROM {src}"
     )
     cap = f"WHERE _rn <= {per_host_cap}" if per_host_cap is not None else ""
-    return f"WITH {base}\nSELECT host, url FROM ({hosted}) {cap}"
+    return f"WITH {base}\nSELECT host, url FROM ({ranked}) {cap}"

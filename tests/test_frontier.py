@@ -96,3 +96,24 @@ def test_dedup_across_pages(spark):
     )
     rows = FR.frontier_step(pages).collect()
     assert [r["url"] for r in rows] == ["https://h.example/t"]
+
+
+def test_apply_robots_prefix_semantics(spark):
+    html = (
+        '<a href="/p/10.html">a</a><a href="/p/9.html">b</a>'
+        '<a href="/ok/1">c</a>'
+    )
+    pages = spark.createDataFrame(
+        [("https://h.example/", html)], "url string, html string"
+    )
+    robots = spark.createDataFrame(
+        [("h.example", "/p/1"), ("other.example", "/ok")],
+        "host string, disallow string",
+    )
+    got = sorted(
+        r["url"]
+        for r in FR.frontier_step(pages, robots=robots).collect()
+    )
+    # /p/10.html blocked (prefix /p/1); /p/9.html allowed; other host's
+    # rule does not apply here
+    assert got == ["https://h.example/ok/1", "https://h.example/p/9.html"]

@@ -210,3 +210,81 @@ def test_split_assign_cross_engine(spark, ids, w1, w2):
     )
     assert got == want
     assert {s for _, s in got} <= {"train", "val", "test"}
+
+
+# ---------------------------------------------------------------------------
+# Crawl-frontier href resolution: Java regex vs RE2 on adversarial refs
+# ---------------------------------------------------------------------------
+
+_URL_SEG = st.text(
+    alphabet=st.characters(
+        codec="ascii", min_codepoint=33, max_codepoint=126,
+        exclude_characters="'\\\"#?/<>%",
+    ),
+    min_size=1,
+    max_size=6,
+)
+_URL_PATH = st.lists(_URL_SEG, max_size=4).map(
+    lambda s: ("/" + "/".join(s)) if s else ""
+)
+_ABS_URL = st.builds(
+    lambda scheme, host, port, path, q: f"{scheme}://{host}{port}{path}{q}",
+    st.sampled_from(["http", "HTTPS", "https"]),
+    st.sampled_from(["Example.com", "a.b.co", "x-y.example", "localhost"]),
+    st.sampled_from(["", ":80", ":443", ":8080"]),
+    _URL_PATH,
+    st.sampled_from(["", "?q=1", "?to=/"]),
+)
+_HREF = st.one_of(
+    _ABS_URL,
+    st.builds(lambda h, p: f"//{h}{p}", st.sampled_from(["cdn.io", "M.N.org"]), _URL_PATH),
+    _URL_PATH.filter(lambda p: p != ""),
+    st.builds(
+        lambda ups, segs: "../" * ups + "/".join(segs),
+        st.integers(0, 4),
+        st.lists(_URL_SEG, min_size=1, max_size=3),
+    ),
+    st.sampled_from(["mailto:u@h.io", "ftp://f.example/x", "a:b/c", "x/", "./y"]),
+)
+
+pairs_strategy = st.lists(
+    st.tuples(_ABS_URL, _HREF), min_size=1, max_size=24
+)
+
+
+@settings(max_examples=16, deadline=None)
+@given(pairs_strategy)
+def test_resolve_href_cross_engine(spark, pairs):
+    """resolve_href + canonical_url (Java regex chain) == the DuckDB SQL
+    mirror (RE2 chain) over adversarial (base, href) pairs — every
+    resolution branch, port/case/slash canonicalization, and the bounded
+    ``..`` collapse."""
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.operators import frontier as FR
+    from search_engine_spark.operators.urls import canonical_url, canonical_url_sql
+
+    df = spark.createDataFrame(pairs, "base string, href string")
+    got = sorted(
+        r["url"]
+        for r in df.select(
+            canonical_url(
+                FR.resolve_href(F.col("base"), F.col("href"))
+            ).alias("url")
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE pairs AS SELECT * FROM (VALUES "
+        + ", ".join("(?, ?)" for _ in pairs)
+        + ") AS t(base, href)",
+        [x for p in pairs for x in p],
+    )
+    want = sorted(
+        r[0]
+        for r in con.sql(
+            f"SELECT {canonical_url_sql(FR.resolve_href_sql('base', 'href'))}"
+            " AS url FROM pairs"
+        ).fetchall()
+    )
+    assert got == want
