@@ -667,6 +667,25 @@ def q_token_counts(spark, sf_dir):
     return TS.token_counts(_docs(spark, sf_dir))
 
 
+BFS_MAX_HOPS = 6
+
+
+def q_bfs_hops(spark, sf_dir):
+    """The crawler's frontier LOOP (Crawler.java:604-787) as bounded BFS:
+    minimum link distance from the seed set over the synthetic link graph
+    (same edge relation as the `pagerank` entry); recursive-CTE oracle."""
+    from search_engine_spark.operators import frontier as FR
+    from search_engine_spark.operators import pagerank as PR
+
+    docs = _docs(spark, sf_dir)
+    ids = docs.select("doc_id")
+    edges = PR.synthetic_edges(ids, docs.count())
+    seeds = ids.filter(F.col("doc_id") % 97 == 0)
+    return FR.bfs_hops(edges, seeds, max_hops=BFS_MAX_HOPS).select(
+        F.col("node").alias("docid"), "hop"
+    )
+
+
 def q_lm_score(spark, sf_dir):
     """Unigram-LM cross-entropy per doc (the CCNet-family perplexity-
     filter signal), self-scored against the corpus's own add-one-smoothed
@@ -1250,6 +1269,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": q_url_dedup,
         "frontier": q_frontier,
         "frontier_robots": q_frontier_robots,
+        "bfs_hops": q_bfs_hops,
         "lm_score": q_lm_score,
         "curation_pipeline": q_curation_pipeline,
         "bm25_index_topk20": q_bm25_index_topk20,
@@ -2055,6 +2075,22 @@ WITH {_MESSY_URL_SQL}
         seen_sql=_FRONTIER_SEEN_SQL,
         per_host_cap=FRONTIER_HOST_CAP,
         robots_sql=_FRONTIER_ROBOTS_SQL,
+    )
+
+    from search_engine_spark.operators.pagerank import synthetic_edges_sql
+
+    sqls["bfs_hops"] = (
+        "SELECT node AS docid, hop FROM ("
+        + FR.bfs_hops_sql(
+            prelude="n AS (SELECT count(*) AS n FROM documents),",
+            edges_sql=synthetic_edges_sql(),
+            seeds_sql=(
+                "SELECT doc_id::BIGINT AS node FROM documents "
+                "WHERE doc_id % 97 = 0"
+            ),
+            max_hops=BFS_MAX_HOPS,
+        )
+        + ")"
     )
 
     sqls["lm_score"] = f"""

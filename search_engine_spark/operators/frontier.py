@@ -218,6 +218,78 @@ SELECT host, url FROM cand WHERE url NOT IN (SELECT url FROM blocked)
 """
 
 
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 10,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(node, hop) — minimum link distance from any seed, bounded at
+    ``max_hops``: the reference crawler's frontier LOOP semantics
+    (Crawler.java:604-787, ``while count>0: frontier.flatMap(crawl)``) as
+    iterative BFS over a harvested edge table. One :func:`frontier_step`
+    is a single wave; this is the closure — what a crawl scheduler uses
+    as its depth/priority signal (and robots-style budget analyses use as
+    "reachable within k clicks").
+
+    Pregel-style frontier expansion: each wave joins ONLY the urls first
+    reached last wave against the edge table, anti-joins the visited set,
+    and tags survivors with the wave number — so a node's hop is its BFS
+    level (provably minimal: levels are explored in order and a node is
+    never revisited). Wave results are localCheckpoint'ed to truncate the
+    growing lineage; per-wave driver traffic is one count. Work per wave
+    ∝ frontier out-edges, not graph size — the scalable BFS shape. Stops
+    early when a wave is empty; a bounded crawl is the normal case so
+    exhausting ``max_hops`` is NOT an error (unlike connected components,
+    where a fixpoint is required for correctness)."""
+    visited = (
+        seeds.select(F.col(seeds.columns[0]).alias("node"))
+        .distinct()
+        .withColumn("hop", F.lit(0))
+        .localCheckpoint()
+    )
+    frontier = visited.select("node")
+    for h in range(1, max_hops + 1):
+        nxt = (
+            edges.join(frontier, edges[src] == frontier["node"])
+            .select(edges[dst].alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .withColumn("hop", F.lit(h))
+            .localCheckpoint()
+        )
+        if not nxt.take(1):
+            break
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt.select("node")
+    return visited
+
+
+def bfs_hops_sql(
+    edges_sql: str, seeds_sql: str, max_hops: int = 10, prelude: str = ""
+) -> str:
+    """DuckDB recursive-CTE mirror of :func:`bfs_hops` — UNION (distinct)
+    recursion over (node, hop) pairs is cycle-safe and bounded by
+    |V|·max_hops rows; min(hop) per node equals the BFS level.
+    ``prelude`` may add helper CTEs the edge relation references
+    (e.g. ``"n AS (SELECT count(*) AS n FROM documents),"``)."""
+    return f"""
+WITH RECURSIVE
+{prelude}
+edges AS ({edges_sql}),
+seeds AS ({seeds_sql}),
+reach(node, hop) AS (
+  SELECT node, 0 FROM seeds
+  UNION
+  SELECT e.dst, r.hop + 1
+  FROM reach r JOIN edges e ON e.src = r.node
+  WHERE r.hop < {max_hops}
+)
+SELECT node, min(hop)::INT AS hop FROM reach GROUP BY node
+"""
+
+
 # ---------------------------------------------------------------------------
 # DuckDB SQL mirrors
 # ---------------------------------------------------------------------------

@@ -117,3 +117,28 @@ def test_apply_robots_prefix_semantics(spark):
     # /p/10.html blocked (prefix /p/1); /p/9.html allowed; other host's
     # rule does not apply here
     assert got == ["https://h.example/ok/1", "https://h.example/p/9.html"]
+
+
+def test_bfs_hops_chain_and_bound(spark):
+    # 0→1→2→…→9 chain: hop == node id, bounded at max_hops
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(0,)], "node long")
+    got = {r["node"]: r["hop"] for r in FR.bfs_hops(edges, seeds).collect()}
+    assert got == {i: i for i in range(10)}
+    bounded = {
+        r["node"]: r["hop"]
+        for r in FR.bfs_hops(edges, seeds, max_hops=3).collect()
+    }
+    assert bounded == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_bfs_hops_min_distance_on_cycle(spark):
+    # cycle 0→1→2→0 plus shortcut 0→2: node 2 is 1 hop, not 2
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (0, 2)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(0,)], "node long")
+    got = {r["node"]: r["hop"] for r in FR.bfs_hops(edges, seeds).collect()}
+    assert got == {0: 0, 1: 1, 2: 1}
