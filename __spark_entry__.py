@@ -669,6 +669,41 @@ def q_token_counts(spark, sf_dir):
 
 BFS_MAX_HOPS = 6
 
+_REDIRECT_ALIASES_SQL = (
+    "SELECT DISTINCT concat('https://r.example/a/', doc_id::VARCHAR) AS src,"
+    " concat('https://r.example/a/', (doc_id - 1)::VARCHAR) AS dst"
+    " FROM documents WHERE doc_id % 10 <> 0"
+    " UNION "
+    "SELECT concat('https://r.example/c/', (doc_id % 2)::VARCHAR),"
+    " concat('https://r.example/c/', ((doc_id + 1) % 2)::VARCHAR)"
+    " FROM documents"
+)
+
+
+def q_redirects(spark, sf_dir):
+    """301-chain resolution by pointer doubling (Crawler.java:534-540
+    re-enqueues one hop at a time; here the whole chain resolves in
+    O(log chain) rounds). Alias map: /a/{d} → /a/{d-1} chains (terminal
+    at each /a/{10k}) plus a deliberate 2-cycle /c/0 ⇄ /c/1 that must
+    come back resolved=false."""
+    from search_engine_spark.operators import frontier as FR
+
+    d = F.col("doc_id")
+    chains = (
+        _docs(spark, sf_dir)
+        .filter(d % 10 != 0)
+        .select(
+            F.concat(F.lit("https://r.example/a/"), d.cast("string")).alias("src"),
+            F.concat(F.lit("https://r.example/a/"), (d - 1).cast("string")).alias("dst"),
+        )
+    )
+    cycle = _docs(spark, sf_dir).select(
+        F.concat(F.lit("https://r.example/c/"), (d % 2).cast("string")).alias("src"),
+        F.concat(F.lit("https://r.example/c/"), ((d + 1) % 2).cast("string")).alias("dst"),
+    )
+    aliases = chains.unionByName(cycle).distinct()
+    return FR.resolve_redirects(aliases, max_rounds=5)
+
 
 def q_bfs_hops(spark, sf_dir):
     """The crawler's frontier LOOP (Crawler.java:604-787) as bounded BFS:
@@ -1270,6 +1305,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier": q_frontier,
         "frontier_robots": q_frontier_robots,
         "bfs_hops": q_bfs_hops,
+        "redirects": q_redirects,
         "lm_score": q_lm_score,
         "curation_pipeline": q_curation_pipeline,
         "bm25_index_topk20": q_bm25_index_topk20,
@@ -2091,6 +2127,10 @@ WITH {_MESSY_URL_SQL}
             max_hops=BFS_MAX_HOPS,
         )
         + ")"
+    )
+
+    sqls["redirects"] = FR.resolve_redirects_sql(
+        _REDIRECT_ALIASES_SQL, depth_bound=32
     )
 
     sqls["lm_score"] = f"""

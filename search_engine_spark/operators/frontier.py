@@ -274,11 +274,13 @@ def bfs_hops_sql(
     |V|·max_hops rows; min(hop) per node equals the BFS level.
     ``prelude`` may add helper CTEs the edge relation references
     (e.g. ``"n AS (SELECT count(*) AS n FROM documents),"``)."""
+    # wrap both relations: under WITH RECURSIVE, DuckDB gives ANY
+    # union-bodied CTE recursive (no-dedup) semantics
     return f"""
 WITH RECURSIVE
 {prelude}
-edges AS ({edges_sql}),
-seeds AS ({seeds_sql}),
+edges AS (SELECT DISTINCT * FROM ({edges_sql}) AS _e),
+seeds AS (SELECT DISTINCT * FROM ({seeds_sql}) AS _s),
 reach(node, hop) AS (
   SELECT node, 0 FROM seeds
   UNION
@@ -287,6 +289,85 @@ reach(node, hop) AS (
   WHERE r.hop < {max_hops}
 )
 SELECT node, min(hop)::INT AS hop FROM reach GROUP BY node
+"""
+
+
+def resolve_redirects(
+    aliases: DataFrame,
+    max_rounds: int = 16,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(src, final, resolved) — terminal target of every redirect chain.
+
+    ``aliases`` is a functional redirect map (one ``dst`` per ``src`` —
+    a crawl's 301/302 table). The reference follows redirects one hop at
+    a time by re-enqueuing (Crawler.java:534-540); at batch scale the
+    operator you want is full chain resolution — rewrite every stored
+    link to where it finally lands.
+
+    POINTER DOUBLING, not hop-at-a-time: each round self-joins the map
+    and jumps every pointer through the (already-compressed) pointer of
+    its target, so the longest chain HALVES per round — chains up to
+    2^max_rounds resolve in ``max_rounds`` keyed joins (a 10-hop chain
+    costs 4 rounds, not 10). Rows still pointing at a redirecting url
+    after the loop are cycles (or chains past the bound): returned with
+    ``resolved = false`` and NULL ``final`` rather than a wrong target.
+    Early-exits when every pointer is terminal."""
+    m = aliases.select(
+        F.col(src).alias("src"), F.col(dst).alias("cur")
+    ).localCheckpoint()
+    for _ in range(max_rounds):
+        hop = m.select(F.col("src").alias("_k"), F.col("cur").alias("_nxt"))
+        m = (
+            m.join(hop, m["cur"] == hop["_k"], "left")
+            .select("src", F.coalesce("_nxt", "cur").alias("cur"))
+            .localCheckpoint()
+        )
+        pending = m.join(
+            aliases.select(F.col(src).alias("cur")), "cur", "left_semi"
+        )
+        if not pending.take(1):
+            break
+    keys = aliases.select(F.col(src).alias("_k2")).distinct()
+    return (
+        m.join(keys, m["cur"] == keys["_k2"], "left")
+        .select(
+            "src",
+            F.when(F.col("_k2").isNull(), F.col("cur")).alias("final"),
+            F.col("_k2").isNull().alias("resolved"),
+        )
+    )
+
+
+def resolve_redirects_sql(
+    aliases_sql: str, depth_bound: int = 64
+) -> str:
+    """DuckDB recursive-CTE mirror of :func:`resolve_redirects` — walks
+    chains hop-by-hop (UNION-distinct over (src, cur, depth) is cycle-
+    safe); a src with no terminal within ``depth_bound`` (cycles) comes
+    back unresolved. Equivalent to the pointer-doubling result whenever
+    acyclic chains fit both bounds (chain ≤ min(2^max_rounds,
+    depth_bound) — pick bounds accordingly)."""
+    # under WITH RECURSIVE, DuckDB executes ANY union-bodied CTE with
+    # recursive semantics (seed branch kept verbatim, no set-dedup) — wrap
+    # the alias relation so its top level is a plain SELECT DISTINCT
+    return f"""
+WITH RECURSIVE
+aliases AS (SELECT DISTINCT * FROM ({aliases_sql}) AS _a),
+walk(src, cur, depth) AS (
+  SELECT src, dst, 1 FROM aliases
+  UNION
+  SELECT w.src, a.dst, w.depth + 1
+  FROM walk w JOIN aliases a ON a.src = w.cur
+  WHERE w.depth < {depth_bound}
+),
+term AS (
+  SELECT w.src, w.cur FROM walk w
+  WHERE w.cur NOT IN (SELECT src FROM aliases)
+)
+SELECT a.src, t.cur AS final, t.cur IS NOT NULL AS resolved
+FROM aliases a LEFT JOIN term t ON t.src = a.src
 """
 
 

@@ -142,3 +142,28 @@ def test_bfs_hops_min_distance_on_cycle(spark):
     seeds = spark.createDataFrame([(0,)], "node long")
     got = {r["node"]: r["hop"] for r in FR.bfs_hops(edges, seeds).collect()}
     assert got == {0: 0, 1: 1, 2: 1}
+
+
+def test_resolve_redirects_chain_and_cycle(spark):
+    # chain a→b→c→T plus a 2-cycle x⇄y; T is terminal
+    aliases = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "T"), ("x", "y"), ("y", "x")],
+        "src string, dst string",
+    )
+    out = {r["src"]: (r["final"], r["resolved"])
+           for r in FR.resolve_redirects(aliases).collect()}
+    assert out == {
+        "a": ("T", True), "b": ("T", True), "c": ("T", True),
+        "x": (None, False), "y": (None, False),
+    }
+
+
+def test_resolve_redirects_log_rounds(spark):
+    # a 30-hop chain resolves with max_rounds=5 (2^5 = 32 ≥ 30): the
+    # pointer-doubling guarantee, impossible for hop-at-a-time in 5 rounds
+    aliases = spark.createDataFrame(
+        [(f"n{i}", f"n{i+1}") for i in range(30)], "src string, dst string"
+    )
+    out = {r["src"]: (r["final"], r["resolved"])
+           for r in FR.resolve_redirects(aliases, max_rounds=5).collect()}
+    assert all(v == ("n30", True) for v in out.values()) and len(out) == 30
