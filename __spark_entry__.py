@@ -680,6 +680,15 @@ _REDIRECT_ALIASES_SQL = (
 )
 
 
+def q_anchor_texts(spark, sf_dir):
+    """Inbound anchor text aggregated per canonical target url — the
+    off-page relevance signal (pages rank for words others link with);
+    same harvest/resolve chain as the frontier, one keyed aggregation."""
+    from search_engine_spark.operators import frontier as FR
+
+    return FR.anchor_texts(_frontier_pages(spark, sf_dir))
+
+
 def q_redirects(spark, sf_dir):
     """301-chain resolution by pointer doubling (Crawler.java:534-540
     re-enqueues one hop at a time; here the whole chain resolves in
@@ -1306,6 +1315,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_robots": q_frontier_robots,
         "bfs_hops": q_bfs_hops,
         "redirects": q_redirects,
+        "anchor_texts": q_anchor_texts,
         "lm_score": q_lm_score,
         "curation_pipeline": q_curation_pipeline,
         "bm25_index_topk20": q_bm25_index_topk20,
@@ -2132,6 +2142,8 @@ WITH {_MESSY_URL_SQL}
     sqls["redirects"] = FR.resolve_redirects_sql(
         _REDIRECT_ALIASES_SQL, depth_bound=32
     )
+
+    sqls["anchor_texts"] = FR.anchor_texts_sql(_FRONTIER_PAGES_SQL)
 
     sqls["lm_score"] = f"""
 WITH {TOKS_CTE},

@@ -292,6 +292,67 @@ SELECT node, min(hop)::INT AS hop FROM reach GROUP BY node
 """
 
 
+# whole plain-text anchors: href (either quote style) + [^<]* inner text.
+# Anchors whose text contains nested markup are skipped — the honest
+# contract of a regex harvest (a DOM walk belongs in the Arrow extractor).
+_ANCHOR_RE = r"""<a\s+[^>]*href=["'][^"']+["'][^>]*>[^<]*</a>"""
+_ANCHOR_HREF_RE = r"""<a\s+[^>]*href=["']([^"']+)["']"""
+_ANCHOR_TEXT_RE = r">([^<]*)</a>$"
+
+
+def anchor_texts(
+    pages: DataFrame, url: str = "url", html: str = "html"
+) -> DataFrame:
+    """(dst, term, tf) — aggregated inbound anchor text per canonical
+    target url: the classic off-page relevance signal (a page is best
+    described by the words OTHER pages link to it with — it ranks pages
+    for terms they never contain). At index time these rows union into
+    the posting build as extra (docid, term) occurrences, field-weighted
+    à la BM25F.
+
+    Same resolution/canonicalization chain as :func:`frontier_step`;
+    anchor text goes through the engine tokenizer; one keyed shuffle
+    aggregates (dst, term) across all pages — partial counts map-side,
+    so a page linked by 10^9 others costs its true distinct-term width,
+    not 10^9 rows at the reducer."""
+    from search_engine_spark.operators.text_ops import tokens_col
+
+    h = F.col(html)
+    if dict(pages.dtypes)[html] == "binary":
+        h = h.cast("string")
+    anchors = pages.select(
+        F.col(url).alias("src"),
+        F.explode(
+            F.regexp_extract_all(h, F.lit(_ANCHOR_RE), 0)
+        ).alias("anchor"),
+    )
+    resolved = (
+        anchors.withColumn(
+            "href",
+            F.regexp_replace(
+                F.regexp_extract(F.col("anchor"), _ANCHOR_HREF_RE, 1),
+                "#.*$",
+                "",
+            ),
+        )
+        .filter(F.col("href") != "")
+        .select(
+            canonical_url(
+                resolve_href(F.col("src"), F.col("href"))
+            ).alias("dst"),
+            F.regexp_extract(F.col("anchor"), _ANCHOR_TEXT_RE, 1).alias("atext"),
+        )
+        .filter(F.col("dst").rlike(r"^https?://"))
+    )
+    return (
+        resolved.select(
+            "dst", F.explode(tokens_col(F.col("atext"))).alias("term")
+        )
+        .groupBy("dst", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
 def resolve_redirects(
     aliases: DataFrame,
     max_rounds: int = 16,
@@ -410,6 +471,46 @@ END"""
 # stripped and fragment-only links dropped — mirror of
 # ``pagerank.outlinks_col``. SQL single quotes doubled.
 _HREF_RE_SQL = "'<a\\s+[^>]*href=[\"'']([^\"'']+)[\"'']'"
+
+
+def _sql_lit(pattern: str) -> str:
+    """Regex pattern → DuckDB string literal (single quotes doubled)."""
+    return "'" + pattern.replace("'", "''") + "'"
+
+
+def anchor_texts_sql(pages_cte: str) -> str:
+    """DuckDB mirror of :func:`anchor_texts` over a ``pages(url, html)``
+    relation supplied by ``pages_cte``."""
+    resolved = resolve_href_sql("src", "href")
+    return f"""
+WITH {pages_cte},
+anch AS (
+  SELECT p.url AS src, t.anchor AS anchor
+  FROM pages p,
+       unnest(regexp_extract_all(p.html, {_sql_lit(_ANCHOR_RE)}, 0)) AS t(anchor)
+),
+hrefs AS (
+  SELECT src,
+         regexp_replace(
+           regexp_extract(anchor, {_sql_lit(_ANCHOR_HREF_RE)}, 1),
+           '#.*$', '') AS href,
+         regexp_extract(anchor, {_sql_lit(_ANCHOR_TEXT_RE)}, 1) AS atext
+  FROM anch
+),
+resolved AS (
+  SELECT {canonical_url_sql(resolved)} AS dst, atext
+  FROM hrefs WHERE href <> ''
+),
+atoks AS (
+  SELECT dst, t.term FROM (
+    SELECT dst,
+           list_filter(string_split_regex(lower(atext), '[^a-z0-9]+'),
+                       x -> x <> '') AS tt
+    FROM resolved WHERE regexp_matches(dst, '^https?://')
+  ), unnest(tt) AS t(term)
+)
+SELECT dst, term, count(*)::BIGINT AS tf FROM atoks GROUP BY dst, term
+"""
 
 
 def frontier_sql(

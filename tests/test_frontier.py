@@ -167,3 +167,28 @@ def test_resolve_redirects_log_rounds(spark):
     out = {r["src"]: (r["final"], r["resolved"])
            for r in FR.resolve_redirects(aliases, max_rounds=5).collect()}
     assert all(v == ("n30", True) for v in out.values()) and len(out) == 30
+
+
+def test_anchor_texts_aggregation(spark):
+    pages = spark.createDataFrame(
+        [
+            ("https://h.example/a/p1", '<a href="/t">big data</a>'),
+            ("https://h.example/b/p2", "<a href='../t'>Big DATA engine</a>"),
+            # nested markup → skipped by the plain-text contract;
+            # mailto → scheme-filtered after resolution
+            ("https://h.example/c", '<a href="/t"><b>x</b></a>'
+                                    '<a href="mailto:u@h.io">mail</a>'),
+        ],
+        "url string, html string",
+    )
+    got = {
+        (r["dst"], r["term"]): r["tf"]
+        for r in FR.anchor_texts(pages).collect()
+    }
+    # both text anchors resolve to the SAME canonical target and their
+    # tokenized words aggregate (case-folded)
+    assert got == {
+        ("https://h.example/t", "big"): 2,
+        ("https://h.example/t", "data"): 2,
+        ("https://h.example/t", "engine"): 1,
+    }
