@@ -689,6 +689,20 @@ def q_anchor_texts(spark, sf_dir):
     return FR.anchor_texts(_frontier_pages(spark, sf_dir))
 
 
+ANCHOR_QUERY = "a c i j"
+
+
+def q_anchor_bm25(spark, sf_dir):
+    """BM25 over the inbound-anchor bags: link targets ranked by the
+    words other pages link to them with (off-page relevance — a target
+    ranks for terms its own body never contains)."""
+    from search_engine_spark.operators import frontier as FR
+
+    return FR.anchor_bm25_topk(
+        FR.anchor_texts(_frontier_pages(spark, sf_dir)), ANCHOR_QUERY, k=20
+    )
+
+
 def q_redirects(spark, sf_dir):
     """301-chain resolution by pointer doubling (Crawler.java:534-540
     re-enqueues one hop at a time; here the whole chain resolves in
@@ -1316,6 +1330,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_hops": q_bfs_hops,
         "redirects": q_redirects,
         "anchor_texts": q_anchor_texts,
+        "anchor_bm25": q_anchor_bm25,
         "lm_score": q_lm_score,
         "curation_pipeline": q_curation_pipeline,
         "bm25_index_topk20": q_bm25_index_topk20,
@@ -2144,6 +2159,10 @@ WITH {_MESSY_URL_SQL}
     )
 
     sqls["anchor_texts"] = FR.anchor_texts_sql(_FRONTIER_PAGES_SQL)
+
+    sqls["anchor_bm25"] = FR.anchor_bm25_sql(
+        _FRONTIER_PAGES_SQL, ANCHOR_QUERY, k=20
+    )
 
     sqls["lm_score"] = f"""
 WITH {TOKS_CTE},

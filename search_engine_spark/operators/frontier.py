@@ -353,6 +353,91 @@ def anchor_texts(
     )
 
 
+def anchor_bm25_topk(
+    anchors: DataFrame, query: str, k: int = 20
+) -> DataFrame:
+    """(dst, score) — BM25 over the INBOUND-ANCHOR bag: each link target
+    is scored as the pseudo-document of all words other pages link to it
+    with. This ranks pages for query terms they may never contain — the
+    off-page half of classic web ranking (the on-page half is
+    ``text_ops.bm25_topk``; blend at score level like
+    ``pagerank.rank_fusion``). Same constants (k1, b), idf form, 6-dp
+    rounding, and (score desc, dst asc) tie-break as the body scorer.
+
+    ``anchors`` is the (dst, term, tf) relation from :func:`anchor_texts`
+    — already one row per (target, term), so document length is one keyed
+    sum, per-term df is an exact row count, and scoring joins only the
+    query terms' rows (a pushed-down IN filter) against a broadcast stats
+    row + broadcast per-term dfs. Nothing corpus-sized shuffles twice."""
+    from search_engine_spark.operators.text_ops import (
+        SCORE_DECIMALS,
+        bm25_idf_col,
+        query_terms,
+    )
+    from search_engine_spark.oracle.bm25 import B, K1
+
+    terms = query_terms(query)
+    if not terms:
+        return anchors.sparkSession.createDataFrame(
+            [], "dst string, score double"
+        )
+    anchors = anchors.localCheckpoint(eager=False)
+    dl = anchors.groupBy("dst").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    hits = anchors.filter(F.col("term").isin(terms))
+    dfs = hits.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    denom_norm = F.lit(K1) * (
+        F.lit(1.0 - B) + F.lit(B) * F.col("dl") / F.col("avgdl")
+    )
+    part = (
+        bm25_idf_col(F.col("n_docs"), F.col("df"))
+        * F.col("tf") * F.lit(K1 + 1.0) / (F.col("tf") + denom_norm)
+    )
+    return (
+        hits.join(F.broadcast(dfs), "term")
+        .join(dl, "dst")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("dst")
+        .agg(F.round(F.sum(part), SCORE_DECIMALS).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("dst").asc())
+        .limit(k)
+    )
+
+
+def anchor_bm25_sql(pages_cte: str, query: str, k: int = 20) -> str:
+    """DuckDB mirror of the full pages → anchors → anchor-BM25 chain."""
+    from search_engine_spark.operators.text_ops import query_terms
+    from search_engine_spark.oracle.bm25 import B, K1
+
+    terms = query_terms(query)
+    if not terms:  # all-stopword query: same empty shape as the operator
+        return "SELECT '' AS dst, 0.0 AS score WHERE false"
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH {_anchor_ctes(pages_cte)},
+agg AS (SELECT dst, term, count(*)::BIGINT AS tf FROM atoks GROUP BY dst, term),
+dl AS (SELECT dst, sum(tf)::DOUBLE AS dl FROM agg GROUP BY dst),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+dfs AS (
+  SELECT term, count(*)::BIGINT AS df FROM agg
+  WHERE term IN ({in_list}) GROUP BY term
+)
+SELECT a.dst,
+       round(sum(
+         ln((stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5) + 1.0)
+         * a.tf * {K1 + 1.0}
+         / (a.tf + {K1} * ({1.0 - B} + {B} * dl.dl / stats.avgdl))
+       ), 6) AS score
+FROM agg a
+JOIN dfs USING (term) JOIN dl USING (dst), stats
+GROUP BY a.dst
+ORDER BY score DESC, a.dst ASC
+LIMIT {k}
+"""
+
+
 def resolve_redirects(
     aliases: DataFrame,
     max_rounds: int = 16,
@@ -478,12 +563,11 @@ def _sql_lit(pattern: str) -> str:
     return "'" + pattern.replace("'", "''") + "'"
 
 
-def anchor_texts_sql(pages_cte: str) -> str:
-    """DuckDB mirror of :func:`anchor_texts` over a ``pages(url, html)``
-    relation supplied by ``pages_cte``."""
+def _anchor_ctes(pages_cte: str) -> str:
+    """CTE chain ending in ``atoks(dst, term)`` — shared by the
+    anchor_texts and anchor_bm25 mirrors."""
     resolved = resolve_href_sql("src", "href")
-    return f"""
-WITH {pages_cte},
+    return f"""{pages_cte},
 anch AS (
   SELECT p.url AS src, t.anchor AS anchor
   FROM pages p,
@@ -508,9 +592,17 @@ atoks AS (
                        x -> x <> '') AS tt
     FROM resolved WHERE regexp_matches(dst, '^https?://')
   ), unnest(tt) AS t(term)
-)
-SELECT dst, term, count(*)::BIGINT AS tf FROM atoks GROUP BY dst, term
-"""
+)"""
+
+
+def anchor_texts_sql(pages_cte: str) -> str:
+    """DuckDB mirror of :func:`anchor_texts` over a ``pages(url, html)``
+    relation supplied by ``pages_cte``."""
+    return (
+        f"WITH {_anchor_ctes(pages_cte)}\n"
+        "SELECT dst, term, count(*)::BIGINT AS tf "
+        "FROM atoks GROUP BY dst, term"
+    )
 
 
 def frontier_sql(

@@ -192,3 +192,38 @@ def test_anchor_texts_aggregation(spark):
         ("https://h.example/t", "data"): 2,
         ("https://h.example/t", "engine"): 1,
     }
+
+
+def test_anchor_bm25_equals_body_bm25_on_pseudo_docs(spark):
+    """The anchor scorer must equal the body scorer run on pseudo-docs
+    built from each target's anchor bag (term repeated tf times) — same
+    constants, idf, rounding, tie-break."""
+    from search_engine_spark.operators.text_ops import bm25_topk
+
+    pages = spark.createDataFrame(
+        [
+            (f"https://h{i}.example/p{i}",
+             f'<a href="/t{i % 4}">big data {"rare" if i == 5 else "engine"}</a>'
+             f'<a href="https://hub.example/x">data hub</a>')
+            for i in range(12)
+        ],
+        "url string, html string",
+    )
+    anchors = FR.anchor_texts(pages)
+    q = "big data rare hub"
+    got = [tuple(r) for r in FR.anchor_bm25_topk(anchors, q, k=10).collect()]
+    pseudo = anchors.groupBy("dst").agg(
+        F.concat_ws(
+            " ",
+            F.flatten(
+                F.collect_list(
+                    F.array_repeat(F.col("term"), F.col("tf").cast("int"))
+                )
+            ),
+        ).alias("text")
+    )
+    want = [
+        (r["docid"], r["score"])
+        for r in bm25_topk(pseudo, q, k=10, docid="dst", text="text").collect()
+    ]
+    assert got == want and len(got) > 3
