@@ -191,6 +191,19 @@ def main() -> None:
         ],
     )
 
+    # 7b. anchor-BM25: stats + per-term dfs broadcast, one keyed agg,
+    # TakeOrderedAndProject top-k
+    audit(
+        "anchor-BM25 over inbound bags",
+        qs["anchor_bm25"](spark, sf_dir),
+        [
+            ("stats/dfs broadcast", lambda p: "BroadcastHashJoin" in p
+             or "BroadcastNestedLoopJoin" in p),
+            ("TakeOrderedAndProject", lambda p: "TakeOrderedAndProject" in p),
+            ("partial/final hash aggregation", lambda p: "HashAggregate" in p),
+        ],
+    )
+
     # 8. unigram-LM scoring: two keyed aggs + a broadcast vocab join,
     # integer sums all the way
     audit(
