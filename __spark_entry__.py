@@ -690,6 +690,32 @@ def q_anchor_texts(spark, sf_dir):
 
 
 ANCHOR_QUERY = "a c i j"
+BM25F_QUERY = "spark table join"
+
+
+def q_bm25f(spark, sf_dir):
+    """Weighted-field BM25F (body + inbound anchor text combined BEFORE
+    saturation): each doc gets a synthetic url and one outbound anchor —
+    to doc (d·13+7) mod N, carrying the linking doc's two lead tokens —
+    so query terms arrive at targets via OTHER docs' words; full chain
+    (pages → anchor harvest → field-combined scoring) mirrored in SQL."""
+    from search_engine_spark.operators import frontier as FR
+
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    d = F.col("doc_id")
+    url = F.concat(F.lit("https://w.example/page"), d.cast("string"))
+    fdocs = docs.select(d.alias("doc_id"), url.alias("url"), "text")
+    first2 = F.concat_ws(" ", F.slice(T.tokens_col("text"), 1, 2))
+    pages = docs.select(
+        url.alias("url"),
+        F.concat(
+            F.lit('<a href="/page'), ((d * 13 + 7) % n).cast("string"),
+            F.lit('">'), first2, F.lit("</a>"),
+        ).alias("html"),
+    )
+    anchors = FR.anchor_texts(pages)
+    return T.bm25f_topk(fdocs, anchors, BM25F_QUERY, k=20)
 
 
 def q_anchor_bm25(spark, sf_dir):
@@ -1331,6 +1357,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redirects": q_redirects,
         "anchor_texts": q_anchor_texts,
         "anchor_bm25": q_anchor_bm25,
+        "bm25f": q_bm25f,
         "lm_score": q_lm_score,
         "curation_pipeline": q_curation_pipeline,
         "bm25_index_topk20": q_bm25_index_topk20,
@@ -2162,6 +2189,28 @@ WITH {_MESSY_URL_SQL}
 
     sqls["anchor_bm25"] = FR.anchor_bm25_sql(
         _FRONTIER_PAGES_SQL, ANCHOR_QUERY, k=20
+    )
+
+    _bm25f_pages_cte = """n2 AS (SELECT count(*) AS n FROM documents),
+fdocs AS (
+  SELECT doc_id AS docid,
+         concat('https://w.example/page', doc_id::VARCHAR) AS url,
+         text
+  FROM documents),
+pages AS (
+  SELECT f.url,
+         concat('<a href="/page', ((f.docid * 13 + 7) % n2.n)::VARCHAR,
+                '">',
+                array_to_string(
+                  (list_filter(string_split_regex(lower(f.text), '[^a-z0-9]+'),
+                               x -> x <> ''))[1:2], ' '),
+                '</a>') AS html
+  FROM fdocs f, n2)"""
+    sqls["bm25f"] = (
+        f"WITH {FR._anchor_ctes(_bm25f_pages_cte)},\n"
+        "fanchors AS (SELECT dst, term, count(*)::BIGINT AS tf "
+        "FROM atoks GROUP BY dst, term),"
+        + T.bm25f_sql_tail(BM25F_QUERY, k=20)
     )
 
     sqls["lm_score"] = f"""

@@ -413,3 +413,177 @@ scored AS (
 )
 SELECT docid, score FROM scored ORDER BY score DESC, docid ASC LIMIT {k}
 """
+
+
+def bm25f_topk(
+    docs: DataFrame,
+    anchors: DataFrame,
+    query: str,
+    k: int = 20,
+    w_anchor: float = 2.0,
+    docid: str = "doc_id",
+    text: str = "text",
+    url: str = "url",
+) -> DataFrame:
+    """(docid, score) — weighted-field BM25F over body + inbound anchor
+    text: per-term field tfs combine BEFORE saturation,
+    ``ctf = tf_body + w_anchor·tf_anchor`` (Robertson/Zaragoza's simple
+    BM25F: early combination keeps one saturation curve, so two weak
+    field matches can't outscore one strong one the way score-level
+    fusion allows). Length normalization uses the BODY length (anchor
+    bags are unboundedly skewed — a hub page's 10^6 inbound anchors
+    should raise its tf, not normalize it away); df counts docs with
+    ctf > 0 so anchor-only matches contribute evidence.
+
+    ``anchors`` is (dst, term, tf) from ``frontier.anchor_texts``; dst
+    joins the docs' ``url`` column (canonical both sides by contract).
+    Plan shape: the body side is the single-pass bm25_topk projection;
+    the anchor side filters to query terms FIRST (pushed IN), joins the
+    (docid, url) map, and folds to one row per doc — then one broadcast
+    stats join and TakeOrderedAndProject. Anchor rows for non-query terms
+    never shuffle."""
+    terms = query_terms(query)
+    if not terms:
+        return docs.sparkSession.createDataFrame(
+            [], "docid long, score double"
+        )
+
+    def _eq(t: str):
+        return lambda x: x == F.lit(t)
+
+    toks_once = widen_small_input(docs).select(
+        F.col(docid).alias("docid"),
+        F.col(url).alias("_url"),
+        tokens_col(text).alias("_toks"),
+    )
+    arr = F.col("_toks")
+    body = toks_once.select(
+        "docid",
+        "_url",
+        F.size(arr).alias("dl"),
+        *[
+            F.size(F.filter(arr, _eq(t))).alias(f"tf{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    amap = docs.select(
+        F.col(docid).alias("docid"), F.col(url).alias("_url")
+    )
+    atf = (
+        anchors.filter(F.col("term").isin(terms))
+        .join(amap, anchors["dst"] == amap["_url"])
+        .groupBy("docid")
+        .agg(
+            *[
+                F.sum(
+                    F.when(F.col("term") == t, F.col("tf")).otherwise(F.lit(0))
+                ).alias(f"atf{i}")
+                for i, t in enumerate(terms)
+            ]
+        )
+    )
+    comb = body.join(atf, "docid", "left").select(
+        "docid",
+        "dl",
+        *[
+            (
+                F.col(f"tf{i}")
+                + F.lit(w_anchor) * F.coalesce(F.col(f"atf{i}"), F.lit(0))
+            ).alias(f"ctf{i}")
+            for i in range(len(terms))
+        ],
+    )
+    stats = comb.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"ctf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    denom_norm = F.lit(K1) * (
+        F.lit(1.0 - B) + F.lit(B) * F.col("dl") / F.col("avgdl")
+    )
+    score = F.lit(0.0)
+    for i in range(len(terms)):
+        ctf = F.col(f"ctf{i}")
+        part = (
+            bm25_idf_col(F.col("n_docs"), F.col(f"df{i}"))
+            * ctf * F.lit(K1 + 1.0) / (ctf + denom_norm)
+        )
+        score = score + F.when(ctf > 0, part).otherwise(F.lit(0.0))
+    return (
+        comb.crossJoin(F.broadcast(stats))
+        .select("docid", score.alias("_s"))
+        .filter(F.col("_s") > 0)
+        .select("docid", F.round("_s", SCORE_DECIMALS).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("docid").asc())
+        .limit(k)
+    )
+
+
+def bm25f_sql_tail(
+    query: str,
+    k: int = 20,
+    w_anchor: float = 2.0,
+    docs_rel: str = "fdocs",
+    anchors_rel: str = "fanchors",
+) -> str:
+    """DuckDB mirror of :func:`bm25f_topk` as the tail of a WITH chain:
+    expects ``{docs_rel}(docid, url, text)`` and
+    ``{anchors_rel}(dst, term, tf)`` CTEs already defined. Same combined-
+    tf, body-length norm, ctf>0 df, constants, rounding, tie-break."""
+    terms = query_terms(query)
+    if not terms:
+        raise ValueError("bm25f_sql_tail needs ≥1 non-stopword query term")
+    tf_cols = ", ".join(
+        f"len(list_filter(tt, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    atf_cols = ", ".join(
+        f"sum(CASE WHEN a.term = '{t}' THEN a.tf ELSE 0 END) AS atf{i}"
+        for i, t in enumerate(terms)
+    )
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    ctf_cols = ", ".join(
+        f"(b.tf{i} + {w_anchor} * coalesce(x.atf{i}, 0))::DOUBLE AS ctf{i}"
+        for i in range(len(terms))
+    )
+    df_cols = ", ".join(
+        f"sum((ctf{i} > 0)::BIGINT) AS df{i}" for i in range(len(terms))
+    )
+    score_terms = " + ".join(
+        f"""CASE WHEN c.ctf{i} > 0 THEN
+          ln((s.n_docs - s.df{i} + 0.5) / (s.df{i} + 0.5) + 1.0)
+          * c.ctf{i} * {K1 + 1.0}
+          / (c.ctf{i} + {K1} * ({1.0 - B} + {B} * c.dl / s.avgdl))
+        ELSE 0.0 END"""
+        for i in range(len(terms))
+    )
+    return f"""
+fbody AS (
+  SELECT docid, url, len(tt) AS dl, {tf_cols}
+  FROM (SELECT docid, url,
+          list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                      x -> x <> '') AS tt
+        FROM {docs_rel})
+),
+fatf AS (
+  SELECT d.docid, {atf_cols}
+  FROM {anchors_rel} a JOIN {docs_rel} d ON a.dst = d.url
+  WHERE a.term IN ({in_list})
+  GROUP BY d.docid
+),
+fcomb AS (
+  SELECT b.docid, b.dl, {ctf_cols}
+  FROM fbody b LEFT JOIN fatf x USING (docid)
+),
+fstats AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl, {df_cols} FROM fcomb
+)
+SELECT c.docid, round({score_terms}, {SCORE_DECIMALS}) AS score
+FROM fcomb c, fstats s
+WHERE {" OR ".join(f"c.ctf{i} > 0" for i in range(len(terms)))}
+ORDER BY score DESC, c.docid ASC
+LIMIT {k}
+"""

@@ -227,3 +227,29 @@ def test_anchor_bm25_equals_body_bm25_on_pseudo_docs(spark):
         for r in bm25_topk(pseudo, q, k=10, docid="dst", text="text").collect()
     ]
     assert got == want and len(got) > 3
+
+
+def test_bm25f_reduces_to_bm25_at_zero_weight(spark):
+    from search_engine_spark.operators.text_ops import bm25_topk, bm25f_topk
+
+    docs = spark.createDataFrame(
+        [(i, f"https://w.example/p{i}",
+          ["spark joins data", "tables and rows", "spark spark table",
+           "query engines", "data tables"][i])
+         for i in range(5)],
+        "doc_id long, url string, text string",
+    )
+    anchors = spark.createDataFrame(
+        [("https://w.example/p3", "spark", 4),
+         ("https://w.example/p3", "table", 1),
+         ("https://w.example/p1", "query", 2)],
+        "dst string, term string, tf long",
+    )
+    q = "spark table"
+    zero = [tuple(r) for r in bm25f_topk(docs, anchors, q, w_anchor=0.0).collect()]
+    plain = [tuple(r) for r in bm25_topk(docs, q, k=20).collect()]
+    assert zero == plain
+    # with weight, the anchor-only match (doc 3: 'query engines' has NO
+    # body tf for either term) enters the result purely via anchors
+    w = {r["docid"]: r["score"] for r in bm25f_topk(docs, anchors, q).collect()}
+    assert 3 in w and w[3] > 0
