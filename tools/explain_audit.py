@@ -204,6 +204,19 @@ def main() -> None:
         ],
     )
 
+    # 7c. BM25F: anchor side folds to one row per doc before joining the
+    # body projection; stats broadcast; top-k compiled
+    audit(
+        "BM25F (body + anchor fields)",
+        qs["bm25f"](spark, sf_dir),
+        [
+            ("TakeOrderedAndProject", lambda p: "TakeOrderedAndProject" in p),
+            ("broadcast stats join", lambda p: "BroadcastNestedLoopJoin" in p
+             or "BroadcastExchange" in p),
+            ("partial/final hash aggregation", lambda p: "HashAggregate" in p),
+        ],
+    )
+
     # 8. unigram-LM scoring: two keyed aggs + a broadcast vocab join,
     # integer sums all the way
     audit(
