@@ -1,11 +1,22 @@
-"""Crawl-frontier batch operator — the reference crawler's URL harvest as
-ONE declarative step.
+"""Crawler machinery as declarative batch operators (reference T11).
 
-The crawl itself is out of scope (the input table IS the crawl's output,
-per the engine contract), but the reference's frontier logic — what a
-crawler would fetch NEXT from what it has — is pure relational algebra,
-and expressing it that way is exactly how a web-scale recrawl is planned:
-one batch job over the pages table emits the next fetch list.
+The crawl's network side is out of scope (the input table IS the crawl's
+output, per the engine contract), but everything the reference crawler
+does BETWEEN fetches is pure relational algebra, and expressing it that
+way is exactly how a web-scale recrawl is planned:
+
+* :func:`frontier_step` — ONE wave: harvest → resolve → canonicalize →
+  filter → seen anti-join → robots rules → per-host politeness cap.
+* :func:`apply_robots` — robots.txt Disallow prefix rules as a filter.
+* :func:`bfs_hops` — the crawl LOOP's reachability semantics: min link
+  distance from seeds, Pregel-style frontier-only expansion.
+* :func:`resolve_redirects` — 301-chain resolution by pointer doubling
+  (O(log chain) rounds; cycles flagged, never mis-resolved).
+* :func:`anchor_texts` / :func:`anchor_bm25_topk` — inbound anchor-text
+  aggregation per target and BM25 over the anchor bags (the off-page
+  relevance signal; the field-combined scorer is text_ops.bm25f_topk).
+
+Each has an exact DuckDB mirror (``*_sql``) for the correctness gate.
 
 Reference semantics covered (/root/reference/src/cis5550/jobs/Crawler.java):
 
