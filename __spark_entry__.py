@@ -251,15 +251,17 @@ def q_bm25_index_all(spark, sf_dir):
     decode → score): k larger than the corpus so the result is the complete
     match set — directly comparable to the SQL oracle."""
     idx = _cached_index(spark, sf_dir)
-    out = IQ.topk_distributed(idx, "spark table join", k=10_000)
-    return out.select("docid", F.round("score", 6).alias("score"))
+    out = IQ.topk_distributed(idx, "spark table join", k=10_000, decimals=6)
+    return out.select("docid", "score")
 
 
 def q_bm25_index_topk20(spark, sf_dir):
     """Unpruned distributed top-k at k=20 (bench twin of the pruned plan)."""
     idx = _cached_index(spark, sf_dir)
-    out = IQ.topk_distributed(idx, "spark table join", k=20)
-    return out.select("docid", F.round("score", 6).alias("score"))
+    # decimals=6: rank on the same 6-dp values the cross-engine oracle
+    # ranks on (a post-hoc round can flip the k-boundary tie order)
+    out = IQ.topk_distributed(idx, "spark table join", k=20, decimals=6)
+    return out.select("docid", "score")
 
 
 def q_bm25_index_pruned(spark, sf_dir):
@@ -270,9 +272,9 @@ def q_bm25_index_pruned(spark, sf_dir):
     the plain plan on an index this small)."""
     idx = _cached_index(spark, sf_dir)
     out = IQ.topk_distributed_pruned(
-        idx, "spark table join", k=20, min_blocks=0
+        idx, "spark table join", k=20, min_blocks=0, decimals=6
     )
-    return out.select("docid", F.round("score", 6).alias("score"))
+    return out.select("docid", "score")
 
 
 BATCH_QUERIES = {0: "spark table join", 1: "window", 2: "customer stream vector"}
@@ -316,8 +318,8 @@ def q_stemmed_topk(spark, sf_dir):
     the dual-indexing machinery (stem emission, query-side stemming,
     stemmed posting stats) is what's exercised."""
     idx = _cached_index(spark, sf_dir, stem=True)
-    out = IQ.topk_distributed(idx, "table customer query", k=25)
-    return out.select("docid", F.round("score", 6).alias("score"))
+    out = IQ.topk_distributed(idx, "table customer query", k=25, decimals=6)
+    return out.select("docid", "score")
 
 
 def q_sample_bernoulli(spark, sf_dir):

@@ -483,8 +483,11 @@ def _make_simhash_batches(chunk: int):
         weights = (1 << np.arange(32, dtype=np.uint64)).astype(np.uint64)
         for pdf in batches:
             toks = pdf["_toks"]
-            lens = np.fromiter((len(t) for t in toks), dtype=np.int64,
-                               count=len(toks))
+            # NULL text → NULL token array (split of NULL) → None here;
+            # treat as empty so the doc is dropped like the explode-based
+            # plan did, instead of len(None) crashing the whole job
+            lens = np.fromiter((0 if t is None else len(t) for t in toks),
+                               dtype=np.int64, count=len(toks))
             keep = lens > 0  # no tokens → no signature (explode semantics)
             if not keep.any():
                 continue

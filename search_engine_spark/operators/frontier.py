@@ -194,16 +194,37 @@ def apply_robots(
     url: str = "url",
     host: str = "host",
 ) -> DataFrame:
-    """Drop candidates whose PATH starts with a Disallow prefix for their
-    host — the reference's robots.txt honoring (Crawler.java:310-375 parse,
-    :260-275 prefix check) as a batch filter. ``robots`` is a
-    (host, disallow) rule table (one row per rule, prefix semantics — the
-    reference matches ``relativeURL.startsWith(rule)``); candidates on
-    hosts with no rules pass through.
+    """Drop candidates the robots rules forbid — the reference's
+    robots.txt honoring (Crawler.java:310-375 parse, :260-275 prefix
+    check: it walks the parsed rules IN FILE ORDER and breaks on the
+    FIRST prefix that matches, so an Allow listed before a Disallow wins)
+    as a batch filter. Two rule-table shapes:
+
+    * ``(host, disallow)`` — Disallow-only prefixes. First-match-wins
+      degenerates to any-match (every rule blocks), so no order column is
+      needed.
+    * ``(host, rule, allow, rule_order)`` — the full first-match-wins
+      semantics: per candidate, the matching rule with the smallest
+      ``rule_order`` (its position in robots.txt) decides; ``allow``
+      true keeps the url. No matching rule → allowed.
+
+    Candidates on hosts with no rules pass through either way.
 
     Shape: rules tables are small (one fetch per host) → broadcast join on
-    host, prefix test, left_anti of the hit set. Pure built-ins."""
+    host, prefix test; the first-match pick is a ``min_by`` hash
+    aggregation keyed by url (no window). Pure built-ins."""
     path = F.regexp_replace(F.col(url), _PREFIX_RE, "")
+    if "allow" in robots.columns:
+        matched = cand.join(
+            F.broadcast(robots), cand[host] == robots["host"], "inner"
+        ).filter(path.startswith(F.col("rule")))
+        blocked = (
+            matched.groupBy(F.col(url))
+            .agg(F.min_by("allow", "rule_order").alias("_first_allow"))
+            .filter(~F.col("_first_allow"))
+            .select(F.col(url))
+        )
+        return cand.join(blocked, url, "left_anti")
     hits = (
         cand.join(F.broadcast(robots), cand[host] == robots["host"], "inner")
         .filter(path.startswith(F.col("disallow")))
@@ -224,6 +245,25 @@ blocked AS (
   SELECT DISTINCT c.url
   FROM cand c JOIN robots r ON c.host = r.host
   WHERE starts_with(regexp_replace(c.url, '{_PREFIX_RE}', ''), r.disallow)
+)
+SELECT host, url FROM cand WHERE url NOT IN (SELECT url FROM blocked)
+"""
+
+
+def apply_robots_fmw_sql(cand_select: str, robots_sql: str) -> str:
+    """DuckDB mirror of the first-match-wins branch of
+    :func:`apply_robots`: ``robots_sql`` yields
+    (host, rule, allow, rule_order); the matching rule with the smallest
+    rule_order decides each url."""
+    return f"""
+WITH cand AS ({cand_select}),
+robots AS ({robots_sql}),
+blocked AS (
+  SELECT c.url
+  FROM cand c JOIN robots r ON c.host = r.host
+  WHERE starts_with(regexp_replace(c.url, '{_PREFIX_RE}', ''), r.rule)
+  GROUP BY c.url
+  HAVING NOT arg_min(r.allow, r.rule_order)
 )
 SELECT host, url FROM cand WHERE url NOT IN (SELECT url FROM blocked)
 """

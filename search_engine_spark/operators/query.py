@@ -142,9 +142,17 @@ def _bm25_part_col(avgdl: float):
     )
 
 
-def topk_distributed(index: Index, query: str, k: int = 100) -> DataFrame:
+def topk_distributed(
+    index: Index, query: str, k: int = 100, decimals: int = SCORE_ROUND
+) -> DataFrame:
     """(docid, score) top-k as a Spark plan. The term filter is pushed into
-    the parquet scan (term-sorted layout → row-group pruning)."""
+    the parquet scan (term-sorted layout → row-group pruning).
+
+    ``decimals``: scores are ROUNDED BEFORE the (score desc, docid asc)
+    ranking, not after — a post-hoc round can disagree with a consumer
+    that ranks at the rounded precision (two docs 1e-9 apart straddling
+    the k boundary). Pass the precision the consumer compares at (the
+    cross-engine gate uses 6)."""
     terms = parse_query(query, stem=index.stats.get("stem", True))
     spark = index.spark
     if not terms:
@@ -166,7 +174,7 @@ def topk_distributed(index: Index, query: str, k: int = 100) -> DataFrame:
     scored = (
         decoded.withColumn("part", _bm25_part_col(avgdl))
         .groupBy("docid")
-        .agg(F.round(F.sum("part"), SCORE_ROUND).alias("score"))
+        .agg(F.round(F.sum("part"), decimals).alias("score"))
     )
     return scored.orderBy(F.col("score").desc(), F.col("docid").asc()).limit(k)
 
@@ -211,6 +219,7 @@ def topk_distributed_pruned(
     seed_blocks_per_term: int = 2,
     max_candidates: int = 200_000,
     min_blocks: int = 256,
+    decimals: int = SCORE_ROUND,
 ) -> DataFrame:
     """(docid, score) — EXACT top-k with Block-Max pruning as a
     distributed plan: the Ding & Suel block-max idea (driver path:
@@ -272,7 +281,7 @@ def topk_distributed_pruned(
     meta_rows = meta.limit(META_COLLECT_MAX + 1).collect()
     meta_local = meta_rows if len(meta_rows) <= META_COLLECT_MAX else None
     if len(meta_rows) < min_blocks:
-        return topk_distributed(index, query, k)
+        return topk_distributed(index, query, k, decimals=decimals)
     if meta_local is not None:
         per_term = {}
         for r in meta_local:
@@ -339,8 +348,11 @@ def topk_distributed_pruned(
     )
     if len(seed_top) < k:
         # seed couldn't even fill k — tiny index; pruning pointless
-        return topk_distributed(index, query, k)
-    theta = float(seed_top[-1]["score"]) - 1e-9
+        return topk_distributed(index, query, k, decimals=decimals)
+    # θ slack = one ulp at the EMITTED precision: a doc pruned by θ must
+    # not be able to round into a tie with the kth kept score (the 1e-9
+    # default generalizes to any ``decimals``)
+    theta = float(seed_top[-1]["score"]) - max(1e-9, 10.0 ** -decimals)
 
     # --- phase 2: prune blocks, partial-score survivors with term sets
     rest = {t: sum_all - mx for t, mx in per_term.items()}
@@ -419,7 +431,7 @@ def topk_distributed_pruned(
     )
     n_cands = cands.count()
     if n_cands > max_candidates:
-        return topk_distributed(index, query, k)
+        return topk_distributed(index, query, k, decimals=decimals)
 
     # --- phase 3: exact rescore of candidates from intersecting pruned
     # blocks only (docid-range containment against the candidate set)
@@ -454,7 +466,7 @@ def topk_distributed_pruned(
             "docid",
             F.round(
                 F.col("pscore") + F.coalesce(F.col("xscore"), F.lit(0.0)),
-                SCORE_ROUND,
+                decimals,
             ).alias("score"),
         )
     )
@@ -784,12 +796,22 @@ def _topk_bulk(
 # useful and the vectorized exhaustive path wins by orders of magnitude.
 BULK_SCORE_DF_FRACTION = 0.10
 
+# Driver-side serving paths (``topk_wand``, ``phrase_docs``) collect
+# posting-block BYTES to the driver. Above this many postings for one
+# query they hand off to their distributed siblings instead — a stop-word
+# term over a 100× corpus must never OOM the driver. The preflight is
+# FREE for topk_wand (df rides along in the terms lookup it already does)
+# and metadata-only for phrase_docs. 2M postings ≈ low tens of MB of
+# block bytes with positions — comfortable; far past it is not.
+DRIVER_POSTINGS_MAX = 2_000_000
+
 
 def topk_wand(
     index: Index,
     query: str,
     k: int = 100,
     strategy: str = "auto",
+    driver_postings_max: int | None = None,
 ) -> list[tuple[int, float]]:
     """Exact BM25 top-k, driver-side (the interactive path).
 
@@ -805,15 +827,29 @@ def topk_wand(
     Document lengths come from the posting blocks themselves (codec v3),
     so the query path touches ONLY the pruned postings + terms for the
     query — never the docs table (collecting it was O(corpus) per fresh
-    index handle; fatal at 10^12 docs)."""
+    index handle; fatal at 10^12 docs).
+
+    Driver-memory guard: the terms lookup below also reads ``df``, and
+    when the query's total posting count exceeds ``driver_postings_max``
+    (default :data:`DRIVER_POSTINGS_MAX`) the block bytes are NEVER
+    collected — the call hands off to ``topk_distributed_pruned`` and
+    returns its (rank- and score-identical) result. The preflight costs
+    zero extra Spark jobs."""
+    if driver_postings_max is None:
+        driver_postings_max = DRIVER_POSTINGS_MAX
     terms = parse_query(query, stem=index.stats.get("stem", True))
     if not terms:
         return []
     avgdl = index.stats["avgdl"]
-    idfs = {
-        r["term"]: r["idf"]
-        for r in index.terms.filter(F.col("term").isin(terms)).collect()
-    }
+    trows = (
+        index.terms.filter(F.col("term").isin(terms))
+        .select("term", "idf", "df")
+        .collect()
+    )
+    idfs = {r["term"]: r["idf"] for r in trows}
+    if sum(r["df"] for r in trows) > driver_postings_max:
+        rows = topk_distributed_pruned(index, query, k).collect()
+        return [(int(r["docid"]), float(r["score"])) for r in rows]
     blocks = _fetch_term_blocks(index, [t for t in terms if t in idfs])
     if strategy == "auto":
         n_docs = max(1, index.stats["n_docs"])
@@ -1013,7 +1049,9 @@ def topk_with_urls(
     lookups are IN-filtered scans — docs/ is docid-range-sorted parquet so
     the docid filter prunes row groups, and the corpus lookup filters on
     url before the join. No corpus-sized shuffle."""
-    scores = topk_distributed(index, query, k).collect()
+    # rank at the EMITTED precision (a post-hoc round can flip the
+    # k-boundary tie order vs a consumer comparing at ``decimals``)
+    scores = topk_distributed(index, query, k, decimals=decimals).collect()
     spark = index.spark
     if not scores:
         return spark.createDataFrame(
@@ -1034,8 +1072,7 @@ def topk_with_urls(
         F.col(url_col).alias("url"),
         snippet_expr(snip_terms, text_col, snippet_len).alias("snippet"),
     ]
-    out_cols = ["docid", "url",
-                F.round("score", decimals).alias("score"), "snippet"]
+    out_cols = ["docid", "url", "score", "snippet"]
     if html_col is not None:
         h = F.col(html_col)
         if dict(corpus.dtypes).get(html_col) == "binary":
@@ -1060,7 +1097,9 @@ def _phrase_term_offsets(phrase: str) -> dict[str, list[int]]:
     return offs
 
 
-def phrase_docs(index: Index, phrase: str) -> list[int]:
+def phrase_docs(
+    index: Index, phrase: str, driver_postings_max: int | None = None
+) -> list[int]:
     """Docids containing the exact adjacent token phrase — driver path.
 
     Scale shape (reference IndexerProjectPhraseSearch.java:407-440's
@@ -1090,6 +1129,17 @@ def phrase_docs(index: Index, phrase: str) -> list[int]:
     if any(t not in meta for t in offs):
         return []
     order = sorted(offs, key=lambda t: df_by_term[t])
+    # Driver-memory guard (metadata-only preflight — no bytes read yet):
+    # the rarest term is decoded IN FULL on the driver and bounds the
+    # candidate set every later fetch is keyed by. Past the threshold,
+    # hand off to the fully distributed plan — identical result set.
+    if driver_postings_max is None:
+        driver_postings_max = DRIVER_POSTINGS_MAX
+    if df_by_term[order[0]] > driver_postings_max:
+        return sorted(
+            int(r["docid"])
+            for r in phrase_docs_distributed(index, phrase).collect()
+        )
 
     def fetch_blocks(term: str, keys: set[tuple[int, int]] | None):
         q = index.postings.filter(F.col("term") == term)

@@ -432,7 +432,15 @@ def lm_score(
 # quantifiers, \b word boundaries; no lookaround, no backreferences.
 PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PII_IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
-PII_PHONE_RE = r"\b\+?[0-9]{3}[ .-][0-9]{3}[ .-][0-9]{4}\b"
+# Domestic NNN-NNN-NNNN plus international "+NNN ..." / "+CC NNN ..."
+# forms. The plus branch is separate because \b can never sit before '+'
+# (no word boundary between a non-word char and '+'), so a leading \b\+?
+# silently left every '+' unconsumed and unmatched (review finding); the
+# no-plus branch keeps \b so digit runs never match mid-number.
+PII_PHONE_RE = (
+    r"(?:\+(?:[0-9]{1,3}[ .-])?[0-9]{3}|\b[0-9]{3})"
+    r"[ .-][0-9]{3}[ .-][0-9]{4}\b"
+)
 
 
 def pii_scrub(
@@ -440,7 +448,8 @@ def pii_scrub(
 ) -> DataFrame:
     """(docid, clean_text, n_emails, n_ips, n_phones) — PII redaction, a
     standard pre-training curation pass. Emails, IPv4 addresses, and
-    NNN-NNN-NNNN phone numbers are replaced by <EMAIL>/<IP>/<PHONE>
+    NNN-NNN-NNNN / +CC-prefixed phone numbers are replaced by
+    <EMAIL>/<IP>/<PHONE>
     tokens; counts are measured on the ORIGINAL text (so the three counts
     are independent of replacement order). Replacement runs email → ip →
     phone; the replacement tokens contain no digits, so a later pattern

@@ -119,6 +119,55 @@ def test_apply_robots_prefix_semantics(spark):
     assert got == ["https://h.example/ok/1", "https://h.example/p/9.html"]
 
 
+def test_apply_robots_first_match_wins_allow(spark):
+    """Extended (host, rule, allow, rule_order) table: an Allow listed
+    BEFORE a Disallow wins for urls it matches (Crawler.java breaks on
+    the first matching prefix), and the DuckDB mirror agrees."""
+    html = (
+        '<a href="/p/1/a.html">a</a><a href="/p/2/b.html">b</a>'
+        '<a href="/q/c.html">c</a>'
+    )
+    pages = spark.createDataFrame(
+        [("https://h.example/", html)], "url string, html string"
+    )
+    # robots.txt order: Allow /p/1  then  Disallow /p  — so /p/1/* is
+    # allowed, /p/2/* blocked, /q/* untouched (no rule matches)
+    robots = spark.createDataFrame(
+        [("h.example", "/p/1", True, 0), ("h.example", "/p", False, 1)],
+        "host string, rule string, allow boolean, rule_order int",
+    )
+    got = sorted(
+        r["url"] for r in FR.frontier_step(pages, robots=robots).collect()
+    )
+    assert got == ["https://h.example/p/1/a.html", "https://h.example/q/c.html"]
+
+    # flipping the order (Disallow /p first) blocks /p/1/* too
+    robots_flipped = spark.createDataFrame(
+        [("h.example", "/p/1", True, 1), ("h.example", "/p", False, 0)],
+        "host string, rule string, allow boolean, rule_order int",
+    )
+    got2 = sorted(
+        r["url"]
+        for r in FR.frontier_step(pages, robots=robots_flipped).collect()
+    )
+    assert got2 == ["https://h.example/q/c.html"]
+
+    # DuckDB mirror parity on the first ordering
+    import duckdb
+
+    sql = FR.apply_robots_fmw_sql(
+        "SELECT * FROM (VALUES "
+        "('h.example', 'https://h.example/p/1/a.html'), "
+        "('h.example', 'https://h.example/p/2/b.html'), "
+        "('h.example', 'https://h.example/q/c.html')) AS t(host, url)",
+        "SELECT * FROM (VALUES "
+        "('h.example', '/p/1', TRUE, 0), "
+        "('h.example', '/p', FALSE, 1)) AS r(host, rule, allow, rule_order)",
+    )
+    mirror = sorted(u for (_h, u) in duckdb.sql(sql).fetchall())
+    assert mirror == got
+
+
 def test_bfs_hops_chain_and_bound(spark):
     # 0→1→2→…→9 chain: hop == node id, bounded at max_hops
     edges = spark.createDataFrame(

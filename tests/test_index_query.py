@@ -167,6 +167,53 @@ def test_wand_small_k_prunes_but_exact(index, oracle):
         assert [d for d, _ in got] == [d for d, _ in want]
 
 
+def test_topk_wand_driver_guard_falls_back(index, oracle, monkeypatch):
+    """Above ``driver_postings_max`` the interactive path must NEVER
+    collect block bytes — it hands off to topk_distributed_pruned with an
+    identical result. _fetch_term_blocks is poisoned to prove the bytes
+    collect does not run when the guard fires."""
+    q = "bloodthirsty soldier"
+    want = Q.topk_wand(index, q, k=25)  # normal path (under the threshold)
+    monkeypatch.setattr(
+        Q, "_fetch_term_blocks",
+        lambda *a, **k: pytest.fail("guard did not fire: bytes collected"),
+    )
+    got = Q.topk_wand(index, q, k=25, driver_postings_max=0)
+    assert got == want
+    assert [d for d, _ in got] == [d for d, _ in oracle.topk(q, k=25)]
+
+
+def test_phrase_docs_driver_guard_falls_back(index, oracle):
+    """phrase_docs above the postings threshold must return the
+    distributed plan's result — identical doc set."""
+    ph = PLANTED_PHRASES[0]
+    assert Q.phrase_docs(index, ph, driver_postings_max=0) == (
+        oracle.phrase_docs(ph)
+    )
+
+
+def test_topk_distributed_ranks_at_requested_decimals(index, oracle):
+    """decimals=6 rounds BEFORE the (score desc, docid asc) ranking: every
+    emitted score is a 6-dp value and the order is consistent with
+    comparing at 6 dp (the cross-engine gate's contract)."""
+    # k far above the match-set size: the FULL set, so the oracle
+    # comparison has no k-boundary ambiguity of its own
+    rows = Q.topk_distributed(
+        index, "bloodthirsty soldier", k=10_000, decimals=6
+    ).collect()
+    got = [(r["docid"], r["score"]) for r in rows]
+    assert all(s == round(s, 6) for _d, s in got)
+    ranked = sorted(got, key=lambda x: (-x[1], x[0]))
+    assert got == ranked
+    # rank-consistent with the oracle rounded at the same precision
+    want = sorted(
+        ((d, round(s, 6)) for d, s in oracle.topk("bloodthirsty soldier",
+                                                  k=10_000)),
+        key=lambda x: (-x[1], x[0]),
+    )
+    assert got == want
+
+
 @pytest.mark.parametrize("ph", PLANTED_PHRASES[:5])
 def test_phrase_matches_oracle(index, oracle, ph):
     assert Q.phrase_docs(index, ph) == oracle.phrase_docs(ph)

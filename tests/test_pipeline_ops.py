@@ -205,6 +205,18 @@ def test_simhash_matches_python(spark, docs):
     assert got[0] == got[3]
 
 
+def test_simhash_null_and_empty_text_dropped(spark):
+    """NULL text must not crash the Arrow worker (split of NULL → None
+    token array); null/empty docs are dropped exactly like the old
+    explode-based plan dropped them."""
+    df = spark.createDataFrame(
+        [(0, "real content here"), (1, None), (2, ""), (3, "   ")],
+        "doc_id long, text string",
+    )
+    got = {r["docid"] for r in D.simhash(df).collect()}
+    assert got == {0}
+
+
 def test_simhash_near_pairs(spark, docs):
     pairs = {(r["a"], r["b"]): r["hamming"] for r in
              D.simhash_near_pairs(docs, max_hamming=3).collect()}
@@ -692,6 +704,26 @@ def test_pii_scrub_hits_and_passthrough(spark):
     r2 = got[2]  # clean doc: byte-identical pass-through, zero counts
     assert r2["clean_text"] == "no pii here: version 1.2 at 3pm, a@b (not an email)"
     assert (r2["n_emails"], r2["n_ips"], r2["n_phones"]) == (0, 0, 0)
+
+
+def test_pii_phone_international_plus_consumed(spark):
+    """The '+' of international forms is consumed by the redaction (the
+    old \\b\\+? could never match it — '+215 555 0100' scrubbed to
+    '+<PHONE>'), and digit runs never match mid-number."""
+    df = spark.createDataFrame(
+        [
+            (1, "call +215 555 0100 ok"),
+            (2, "cc +1 215 555 0100 end"),
+            (3, "id 12345-678-9012 is not a phone"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["docid"]: r.asDict() for r in TS.pii_scrub(df).collect()}
+    assert got[1]["clean_text"] == "call <PHONE> ok"
+    assert got[2]["clean_text"] == "cc <PHONE> end"
+    assert got[1]["n_phones"] == 1 and got[2]["n_phones"] == 1
+    assert got[3]["clean_text"] == "id 12345-678-9012 is not a phone"
+    assert got[3]["n_phones"] == 0
 
 
 def test_split_assign_deterministic_and_stable(spark):
