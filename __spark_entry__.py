@@ -311,6 +311,56 @@ def q_topk_urls(spark, sf_dir):
     )
 
 
+def _html_corpus(spark, sf_dir):
+    """Deterministic raw-html pages over the documents table: a real
+    <head><title> (first 4 tokens) + <body> = the doc text. The corpus
+    text is clean printable ASCII with no entities/#/$%, so the pinned
+    extraction (oracle/text.py) yields exactly 'title<space>body' — which
+    is what lets the html-BUILT index be mirrored in SQL."""
+    docs = _docs(spark, sf_dir)
+    title = F.concat_ws(" ", F.slice(T.tokens_col("text"), 1, 4))
+    return docs.select(
+        F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("url"),
+        "text",
+        F.concat(
+            F.lit("<html><head><title>"), title,
+            F.lit("</title></head><body>"), F.col("text"),
+            F.lit("</body></html>"),
+        ).alias("html"),
+        F.lit("en").alias("lang"),
+    )
+
+
+def _cached_html_index(spark: SparkSession, sf_dir: str) -> IQ.Index:
+    """Index built FROM RAW HTML (from_html=True: pinned extraction runs
+    inside the tokenize stage) — the full Common-Crawl pipeline shape, on
+    the gate path."""
+    key = hashlib.md5(f"{sf_dir}:html".encode()).hexdigest()[:10]
+    out = os.path.join(
+        tempfile.gettempdir(), f"se_spark_hidx_v{INDEX_FORMAT}_{key}"
+    )
+    if not os.path.exists(os.path.join(out, "stats.json")):
+        build_index(
+            _html_corpus(spark, sf_dir), out,
+            lang="en", stem=False, cap=None, from_html=True,
+        )
+    return IQ.load_index(spark, out)
+
+
+def q_topk_urls_html(spark, sf_dir):
+    """`topk_urls` over an index built from RAW HTML (extraction inside
+    the build, reference IndexerProject.java:262-276) instead of the
+    pre-extracted text column: the indexed text is 'title body', scores
+    shift accordingly, and the <title> the answer carries is extracted
+    from the same html the index was built from. Oracle: BM25 over
+    concat(title_expr, ' ', text)."""
+    idx = _cached_html_index(spark, sf_dir)
+    return IQ.topk_with_urls(
+        idx, _html_corpus(spark, sf_dir), "spark table join", k=20,
+        html_col="html", decimals=6,
+    )
+
+
 def q_stemmed_topk(spark, sf_dir):
     """T4 Porter dual-indexing on the GATE path: build a stemmed index and
     query it. Every term in the synthetic vocabulary has a singleton stem
@@ -874,6 +924,13 @@ def q_url_dedup(spark, sf_dir):
 
 FRONTIER_HOST_CAP = 25
 
+# The reference's configurable URL-pattern blacklist (Crawler.java:104-118,
+# :571-586): glob patterns, full-url match, any hit drops the candidate.
+# Exercised on the driver `frontier` gate row: the site4 /p/1xx family sits
+# INSIDE the per-host cap's lowest-25 window, so the filter visibly changes
+# the emitted wave (blocked urls free cap slots for later urls).
+FRONTIER_BLACKLIST = ["http://site4.example/p/1*"]
+
 
 def _frontier_pages(spark, sf_dir):
     """documents + deterministic (url, html) so the crawl-frontier step is
@@ -961,6 +1018,7 @@ def q_frontier(spark, sf_dir):
     return FR.frontier_step(
         pages, seen=_frontier_seen(spark, sf_dir),
         per_host_cap=FRONTIER_HOST_CAP,
+        blacklist=FRONTIER_BLACKLIST,
     )
 
 
@@ -994,6 +1052,56 @@ def q_frontier_robots(spark, sf_dir):
         seen=_frontier_seen(spark, sf_dir),
         per_host_cap=FRONTIER_HOST_CAP,
         robots=robots,
+    )
+
+
+def _robots_fmw_rules(spark, sf_dir):
+    """First-match-wins rule table: every siteN host lists, IN ORDER,
+    ``Allow /p/1`` then ``Disallow /p`` — so /p/1xx survives while every
+    other /p path is blocked (flipping the order would block them all;
+    tests cover the flip)."""
+    hosts = (
+        _docs(spark, sf_dir)
+        .select(
+            F.concat(
+                F.lit("site"), (F.col("doc_id") % 7).cast("string"),
+                F.lit(".example"),
+            ).alias("host")
+        )
+        .distinct()
+    )
+    allow = hosts.select(
+        "host", F.lit("/p/1").alias("rule"), F.lit(True).alias("allow"),
+        F.lit(0).alias("rule_order"),
+    )
+    disallow = hosts.select(
+        "host", F.lit("/p").alias("rule"), F.lit(False).alias("allow"),
+        F.lit(1).alias("rule_order"),
+    )
+    return allow.unionByName(disallow)
+
+
+_ROBOTS_FMW_SQL = (
+    "SELECT host, rule, allow, rule_order FROM ("
+    " SELECT DISTINCT concat('site', (doc_id % 7)::VARCHAR, '.example')"
+    " AS host FROM documents),"
+    " (VALUES ('/p/1', TRUE, 0), ('/p', FALSE, 1))"
+    " AS r(rule, allow, rule_order)"
+)
+
+
+def q_frontier_robots_fmw(spark, sf_dir):
+    """Robots with the reference's FIRST-MATCH-WINS evaluation
+    (Crawler.java:260-275 breaks on the first matching prefix, Allow or
+    Disallow): Allow /p/1 listed before Disallow /p keeps the /p/1xx
+    family crawlable on every site host."""
+    from search_engine_spark.operators import frontier as FR
+
+    return FR.frontier_step(
+        _frontier_pages(spark, sf_dir),
+        seen=_frontier_seen(spark, sf_dir),
+        per_host_cap=FRONTIER_HOST_CAP,
+        robots=_robots_fmw_rules(spark, sf_dir),
     )
 
 
@@ -1355,6 +1463,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": q_url_dedup,
         "frontier": q_frontier,
         "frontier_robots": q_frontier_robots,
+        "frontier_robots_fmw": q_frontier_robots_fmw,
+        "topk_urls_html": q_topk_urls_html,
         "bfs_hops": q_bfs_hops,
         "redirects": q_redirects,
         "anchor_texts": q_anchor_texts,
@@ -1696,6 +1806,25 @@ FROM ({T.bm25_topk_sql_oracle(q, k=15)})""")
     )
     sqls["topk_urls"] = f"""
 WITH scored AS ({T.bm25_topk_sql_oracle("spark table join", k=20)})
+SELECT s.docid,
+       lpad(CAST(d.doc_id AS VARCHAR), 12, '0') AS url,
+       s.score,
+       {snip} AS snippet,
+       {title} AS title
+FROM scored s JOIN documents d ON d.doc_id = s.docid
+"""
+
+    # html-BUILT index: the indexed text is extract_text(html) =
+    # 'title<space>body' (clean-ASCII corpus invariant), so the BM25
+    # oracle runs over concat(first4, ' ', text); answer title/snippet
+    # mirror the wrapped corpus exactly as topk_urls does
+    title_doc = (
+        "concat(array_to_string((list_filter(string_split_regex("
+        "lower(text), '[^a-z0-9]+'), x -> x <> ''))[1:4], ' '), ' ', text)"
+    )
+    sqls["topk_urls_html"] = f"""
+WITH scored AS (
+  {T.bm25_topk_sql_oracle("spark table join", k=20, text=title_doc)})
 SELECT s.docid,
        lpad(CAST(d.doc_id AS VARCHAR), 12, '0') AS url,
        s.score,
@@ -2158,6 +2287,7 @@ WITH {_MESSY_URL_SQL}
         _FRONTIER_PAGES_SQL,
         seen_sql=_FRONTIER_SEEN_SQL,
         per_host_cap=FRONTIER_HOST_CAP,
+        blacklist=FRONTIER_BLACKLIST,
     )
 
     sqls["frontier_robots"] = FR.frontier_sql(
@@ -2165,6 +2295,13 @@ WITH {_MESSY_URL_SQL}
         seen_sql=_FRONTIER_SEEN_SQL,
         per_host_cap=FRONTIER_HOST_CAP,
         robots_sql=_FRONTIER_ROBOTS_SQL,
+    )
+
+    sqls["frontier_robots_fmw"] = FR.frontier_sql(
+        _FRONTIER_PAGES_SQL,
+        seen_sql=_FRONTIER_SEEN_SQL,
+        per_host_cap=FRONTIER_HOST_CAP,
+        robots_fmw_sql=_ROBOTS_FMW_SQL,
     )
 
     from search_engine_spark.operators.pagerank import synthetic_edges_sql

@@ -77,6 +77,22 @@ _DOTDOT_RE = r"/[^/]+/\.\./"
 _COLLAPSE_PASSES = 3
 # reference blacklist, tested on lower(normalized url) (Crawler.java:219)
 _EXT_BLACKLIST_RE = r"\.(jpg|jpeg|gif|png|txt)$"
+
+
+def blacklist_regex(patterns: list[str]) -> str:
+    """One anchored alternation implementing the reference's configurable
+    URL-pattern blacklist (jobs/Crawler.java:104-118 ``isBlacklisted``:
+    ``*`` → ``.*``, ``Matcher.matches()`` = FULL-url match, ANY matching
+    pattern drops the url; :571-586 loads patterns from a table).
+
+    Patterns here are GLOBS: every regex metacharacter except ``*`` is
+    escaped before the star expansion, so a literal ``?`` or ``.`` in a
+    pattern cannot shift semantics between the JVM and RE2 engines (the
+    reference compiles the raw string and would interpret them)."""
+    import re as _re
+
+    parts = [_re.escape(p).replace(r"\*", ".*") for p in patterns]
+    return "^(?:" + "|".join(parts) + ")$"
 # level-1 politeness-cap fanout (see frontier_step): bounds the per-task
 # input of the per-host window without changing its result
 SALT_BUCKETS = 64
@@ -130,6 +146,7 @@ def frontier_step(
     url: str = "url",
     html: str = "html",
     robots: DataFrame | None = None,
+    blacklist: list[str] | None = None,
 ) -> DataFrame:
     """(host, url) — the next crawl wave: every NEW, fetchable, canonical
     URL reachable from ``pages``, at most ``per_host_cap`` per host.
@@ -137,7 +154,11 @@ def frontier_step(
     ``seen`` is a 1-column DataFrame of already-crawled canonical URLs
     (pass the crawl table's own canonicalized url column to avoid
     refetching); ``per_host_cap`` keeps the wave polite per host
-    (lowest-url-first within a host, deterministic).
+    (lowest-url-first within a host, deterministic). ``blacklist`` is the
+    reference's configurable URL-pattern blacklist (glob ``*`` wildcards,
+    full-url match, see :func:`blacklist_regex`) applied to the CANONICAL
+    url alongside the extension filter — a tiny driver-side list compiled
+    into one JVM regex, zero extra jobs.
 
     The harvest inlines ``outlinks_col`` instead of reusing the
     ``pagerank.outlinks`` edge table: the edge-level distinct there is a
@@ -157,8 +178,11 @@ def frontier_step(
         )
         .filter(F.col("url").rlike(r"^https?://"))
         .filter(~F.lower(F.col("url")).rlike(_EXT_BLACKLIST_RE))
-        .distinct()
     )
+    if blacklist:
+        # before the distinct: dropped urls never enter the shuffle
+        cand = cand.filter(~F.col("url").rlike(blacklist_regex(blacklist)))
+    cand = cand.distinct()
     if seen is not None:
         seen_urls = seen.select(F.col(seen.columns[0]).alias("url"))
         cand = cand.join(seen_urls, "url", "left_anti")
@@ -661,14 +685,24 @@ def frontier_sql(
     seen_sql: str | None = None,
     per_host_cap: int | None = None,
     robots_sql: str | None = None,
+    blacklist: list[str] | None = None,
+    robots_fmw_sql: str | None = None,
 ) -> str:
     """Full-pipeline DuckDB mirror of :func:`frontier_step` over a pages
     relation named ``pages`` supplied by ``pages_cte`` (a WITH body
     defining ``pages(url, html)``); ``seen_sql`` is a SELECT yielding one
     canonical-url column; ``robots_sql`` a SELECT yielding
     (host, disallow) prefix rules (applied before the cap, like the
-    operator)."""
+    operator); ``robots_fmw_sql`` instead yields
+    (host, rule, allow, rule_order) first-match-wins rules;
+    ``blacklist`` the same glob patterns passed to
+    :func:`frontier_step`."""
     resolved = resolve_href_sql("src", "href")
+    bl_pred = (
+        f"\n    AND NOT regexp_matches(url, "
+        f"{_sql_lit(blacklist_regex(blacklist))})"
+        if blacklist else ""
+    )
     cand = f"""
 links AS (
   SELECT DISTINCT p.url AS src,
@@ -683,7 +717,7 @@ cand AS (
 kept AS (
   SELECT url FROM cand
   WHERE regexp_matches(url, '^https?://')
-    AND NOT regexp_matches(lower(url), '{_EXT_BLACKLIST_RE}')
+    AND NOT regexp_matches(lower(url), '{_EXT_BLACKLIST_RE}'){bl_pred}
 )"""
     base = f"{pages_cte},{cand}"
     src = "kept"
@@ -701,6 +735,15 @@ allowed AS (
   SELECT host, url FROM hosted WHERE url NOT IN (
     SELECT DISTINCT c.url FROM hosted c JOIN robots r ON c.host = r.host
     WHERE starts_with(regexp_replace(c.url, '{_PREFIX_RE}', ''), r.disallow)))"""
+        src = "allowed"
+    if robots_fmw_sql is not None:
+        base += f""",
+robots AS ({robots_fmw_sql}),
+allowed AS (
+  SELECT host, url FROM {src} WHERE url NOT IN (
+    SELECT c.url FROM {src} c JOIN robots r ON c.host = r.host
+    WHERE starts_with(regexp_replace(c.url, '{_PREFIX_RE}', ''), r.rule)
+    GROUP BY c.url HAVING NOT arg_min(r.allow, r.rule_order)))"""
         src = "allowed"
     ranked = (
         f"SELECT host, url, row_number() OVER (PARTITION BY host"

@@ -4,10 +4,12 @@ A 100 TB training-data pipeline carries media as `binary` payloads with a
 typed metadata struct; decode / feature-extract / resize / frame-sample run
 as Arrow-batched pandas UDFs over ``mapInPandas``. The Spark-side plumbing
 here — schemas, batch iteration, partitioning, UDF signatures — is real and
-tested; the codec math itself is stubbed (this container has no
-PIL/ffmpeg): ``decode_image`` parses a deterministic fake header format and
-raises ``NotImplementedError`` for real formats, exactly where a PIL call
-would slot in.
+tested; the codec seam is optional-PIL: ``_decode_payload`` parses the
+deterministic FIMG test format natively and routes any other payload
+through PIL when Pillow is importable (grayscale decode), raising
+``NotImplementedError`` when it is not (this container ships no image
+libraries — the PIL branch is exercised by skip-marked tests wherever
+Pillow exists).
 
 Media table schema:
     media(media_id long, doc_id long, kind string,        -- image|audio|video
@@ -113,15 +115,29 @@ def media_from_docs(docs: DataFrame) -> DataFrame:
 
 
 def _decode_payload(payload: bytes) -> np.ndarray:
-    """Decode one payload → HxW uint8 array. Real formats would dispatch to
-    PIL/libav here."""
-    if payload[:4] != FAKE_MAGIC:
+    """Decode one payload → HxW uint8 (grayscale) array.
+
+    FIMG (the deterministic test format) decodes natively; any other
+    payload routes through PIL when it is importable — the optional-codec
+    seam — and raises ``NotImplementedError`` when it is not (this
+    container ships no image libraries). The import is per-call-site lazy
+    so executors without PIL still run every FIMG plan."""
+    if payload[:4] == FAKE_MAGIC:
+        w, h = struct.unpack("<II", payload[4:12])
+        return np.frombuffer(
+            payload[12 : 12 + w * h], dtype=np.uint8
+        ).reshape(h, w)
+    try:
+        from PIL import Image
+    except ImportError as exc:
         raise NotImplementedError(
-            "real image codecs unavailable in this container; payload is not "
-            "in the deterministic FIMG test format"
-        )
-    w, h = struct.unpack("<II", payload[4:12])
-    return np.frombuffer(payload[12 : 12 + w * h], dtype=np.uint8).reshape(h, w)
+            "payload is not in the deterministic FIMG test format and PIL "
+            "is not installed; install Pillow to decode real image formats"
+        ) from exc
+    import io
+
+    with Image.open(io.BytesIO(payload)) as im:
+        return np.asarray(im.convert("L"), dtype=np.uint8)
 
 
 DECODED_SCHEMA = (

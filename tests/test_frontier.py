@@ -119,6 +119,44 @@ def test_apply_robots_prefix_semantics(spark):
     assert got == ["https://h.example/ok/1", "https://h.example/p/9.html"]
 
 
+def test_url_pattern_blacklist_glob_full_match(spark):
+    """Reference Crawler.java isBlacklisted semantics: '*' is a glob
+    wildcard, the whole url must match, any pattern drops the candidate;
+    other regex metacharacters in a pattern are literal."""
+    html = (
+        '<a href="/p/4/a.html">a</a><a href="/p/5/b.html">b</a>'
+        '<a href="/x.y/c">c</a>'
+    )
+    pages = spark.createDataFrame(
+        [("https://h.example/", html)], "url string, html string"
+    )
+    got = sorted(
+        r["url"]
+        for r in FR.frontier_step(
+            pages, blacklist=["https://h.example/p/4*", "*/x.y/*"]
+        ).collect()
+    )
+    assert got == ["https://h.example/p/5/b.html"]
+    # full-match: a PREFIX pattern without trailing '*' matches nothing
+    got2 = sorted(
+        r["url"]
+        for r in FR.frontier_step(
+            pages, blacklist=["https://h.example/p"]
+        ).collect()
+    )
+    assert len(got2) == 3
+    # '.' is literal: the x.y pattern must not match an 'xzy' path
+    html3 = '<a href="/xzy/c">c</a>'
+    pages3 = spark.createDataFrame(
+        [("https://h.example/", html3)], "url string, html string"
+    )
+    got3 = [
+        r["url"]
+        for r in FR.frontier_step(pages3, blacklist=["*/x.y/*"]).collect()
+    ]
+    assert got3 == ["https://h.example/xzy/c"]
+
+
 def test_apply_robots_first_match_wins_allow(spark):
     """Extended (host, rule, allow, rule_order) table: an Allow listed
     BEFORE a Disallow wins for urls it matches (Crawler.java breaks on

@@ -413,10 +413,53 @@ def test_decode_images(spark, media):
 
 
 def test_decode_rejects_unknown_format(spark):
-    import pandas as pd
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        PIL = None
+    if PIL is None:
+        # no codec library: honest NotImplementedError at the seam
+        with pytest.raises(NotImplementedError):
+            M._decode_payload(b"\x89PNG....")
+    else:  # pragma: no cover - container has no PIL; runs where it exists
+        with pytest.raises(Exception):
+            M._decode_payload(b"\x89PNG....")  # truncated PNG: PIL rejects
 
-    with pytest.raises(NotImplementedError):
-        M._decode_payload(b"\x89PNG....")
+
+def _pil_or_skip():
+    try:
+        from PIL import Image
+        return Image
+    except ImportError:
+        pytest.skip("Pillow not installed (optional codec seam)")
+
+
+def test_pil_seam_decodes_real_png(spark):
+    """Wherever Pillow exists, a REAL png round-trips through the same
+    decode/resize plumbing the FIMG format uses."""
+    Image = _pil_or_skip()
+    import io
+
+    import numpy as np
+
+    arr = (np.arange(64, dtype=np.uint8).reshape(8, 8) * 3) % 256
+    buf = io.BytesIO()
+    Image.fromarray(arr, mode="L").save(buf, format="PNG")
+    png = buf.getvalue()
+    got = M._decode_payload(png)
+    assert got.shape == (8, 8)
+    assert (got == arr).all()
+
+    media = spark.createDataFrame(
+        [(1, 1, "image", bytearray(png),
+          {"width": 8, "height": 8, "n_frames": 1, "sample_rate": 0,
+           "codec": "png"})],
+        M.MEDIA_SCHEMA,
+    )
+    dec = M.decode_images(media).collect()
+    assert len(dec) == 1 and dec[0]["width"] == 8
+    res = M.resize_images(media, 4, 4).collect()
+    assert len(res) == 1 and len(bytes(res[0]["payload"])) == 12 + 16
 
 
 def test_resize_images(spark, media):
