@@ -106,6 +106,41 @@ def main() -> None:
         per_query[name] = round(dt, 3)
         total += dt
 
+    # ANN quality telemetry (untimed): recall@10 of each approximate
+    # index family vs the exact cosine top-k on the same query vector —
+    # a tuning regression (plane count, nprobe, pivot quality) shows up
+    # here before it ever breaks a gate row.
+    ann_recall: dict[str, float] = {}
+    try:
+        from pyspark.sql import functions as F
+        from search_engine_spark.operators import similarity as S
+
+        emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        rows = sorted(
+            emb.filter(F.col("vec_id") < 8).collect(),
+            key=lambda r: r["vec_id"],
+        )
+        pivots = [
+            (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+            for r in rows
+        ]
+        qv = pivots[0][1]
+        # no exclude_self: the approximate paths keep the query vector,
+        # so the exact reference set must too
+        exact = {
+            r["vec_id"] for r in S.cosine_topk(emb, qv, k=10).collect()
+        }
+        approx = {
+            "lsh": S.lsh_topk(emb, qv, k=10, n_planes=6),
+            "ivf": S.ivf_topk(emb, pivots, qv, k=10, nprobe=3),
+        }
+        for method, df in approx.items():
+            got = {r["vec_id"] for r in df.collect()}
+            ann_recall[method] = round(len(got & exact) / len(exact), 3)
+    except Exception as ex:  # telemetry must never sink the bench
+        print(f"WARN ann recall telemetry failed: {str(ex)[:200]}",
+              file=sys.stderr)
+
     # index-build throughput over the deterministic synthetic web corpus
     from search_engine_spark.corpus import gen_pages_df
     from search_engine_spark.operators.indexer import build_index
@@ -134,6 +169,8 @@ def main() -> None:
             "docs_per_sec": round(stats["n_docs"] / build_s, 1),
         },
     }
+    if ann_recall:
+        out["ann_recall@10"] = ann_recall
     if warm_failed:
         out["warm_up_failed"] = warm_failed
     print(json.dumps(out))

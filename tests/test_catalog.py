@@ -166,3 +166,102 @@ def test_versioned_append_adopts_plain_table(spark, tmp_path):
     wh.write(spark.range(0, 5), "t")                        # v2 overwrite
     wh.expire_snapshots("t", keep_last=1)
     assert wh.read("t").count() == 5
+
+
+def test_versioned_read_during_compact_iceberg_semantics(spark, tmp_path):
+    """Iceberg contract: a reader planned against snapshot N keeps working
+    while (and after) compaction commits N+1 — versioned compaction is a
+    pointer flip, old data files stay live until expire_snapshots. The
+    same reader breaks only after an explicit expire, never from the
+    compact itself."""
+    wh = Warehouse(spark, str(tmp_path / "rdc"), versioned=True)
+    df = spark.range(0, 400).withColumnRenamed("id", "docid")
+    wh.write(df, "t")
+    wh.write(spark.range(400, 500).withColumnRenamed("id", "docid"),
+             "t", mode="append")
+    reader = wh.read("t")          # lazy plan pinned to snapshot v2 files
+    stats = wh.compact("t", sort_cols=["docid"])
+    assert wh.current_version("t") == 3
+    # concurrent reader: still the exact pre-compact rows (old files live)
+    assert reader.count() == 500
+    # new reads see the compacted snapshot with identical content
+    assert wh.read("t").count() == 500
+    assert stats["files_before"] >= stats["files_after"]
+    # time travel to the pre-compact snapshot still works
+    assert wh.read("t", version=2).count() == 500
+
+
+def test_versioned_commit_crash_points_leave_old_version_live(spark, tmp_path):
+    """Iceberg hadoop-catalog commit contract: a crash at ANY point inside
+    _commit leaves the previous version fully live — a half-commit is
+    impossible. Each crash point is simulated by reproducing the exact
+    on-disk state _commit would leave there."""
+    import json as _json
+
+    wh = Warehouse(spark, str(tmp_path / "cc"), versioned=True)
+    df = spark.range(0, 50).withColumnRenamed("id", "docid")
+    wh.write(df, "t")                 # v1 (committed baseline)
+    base = str(tmp_path / "cc" / "t")
+    man_dir = os.path.join(base, "_snapshots")
+    fake = {"version": 2, "parent": 1, "mode": "overwrite", "ts": 0.0,
+            "files": ["data/doesnotexist/x.parquet"]}
+
+    # crash point A: manifest tmp written, never renamed
+    with open(os.path.join(man_dir, "v000002.json.tmp"), "w") as f:
+        _json.dump(fake, f)
+    assert wh.current_version("t") == 1
+    assert wh.read("t").count() == 50
+
+    # crash point B: manifest renamed, pointer never updated — the new
+    # manifest is unreferenced; reads stay on v1
+    os.rename(os.path.join(man_dir, "v000002.json.tmp"),
+              os.path.join(man_dir, "v000002.json"))
+    assert wh.current_version("t") == 1
+    assert wh.read("t").count() == 50
+
+    # crash point C: pointer tmp written, never renamed — still v1
+    with open(os.path.join(base, "_VERSION.tmp"), "w") as f:
+        f.write("2")
+    assert wh.current_version("t") == 1
+    assert wh.read("t").count() == 50
+
+    # the next REAL commit overwrites the stale artifacts and wins
+    wh.write(df.limit(7), "t")
+    assert wh.current_version("t") == 2
+    assert wh.read("t").count() == 7
+
+
+def test_unversioned_compact_every_crash_point_recovers(spark, tmp_path):
+    """The plain-parquet two-rename swap: all three crash points heal on
+    the next read()/compact() — stale .compacting is overwritten, a
+    stranded .old is rolled back, a leftover .old after a completed swap
+    is discarded."""
+    import shutil
+
+    wh = Warehouse(spark, str(tmp_path / "uc"))
+    df = spark.range(0, 300).withColumnRenamed("id", "docid")
+    wh.write(df, "t")
+    path = str(tmp_path / "uc" / "t")
+
+    # crash point 1: .compacting written, swap never started — live table
+    # untouched; the next compact overwrites the stale staging dir
+    shutil.copytree(path, path + ".compacting")
+    assert wh.read("t").count() == 300
+    wh.compact("t", sort_cols=["docid"])
+    assert wh.read("t").count() == 300
+    assert not os.path.exists(path + ".compacting")
+
+    # crash point 2: first rename done, second never happened, with the
+    # staging dir still present (the fullest crash state)
+    shutil.copytree(path, path + ".compacting")
+    os.rename(path, path + ".old")
+    assert wh.read("t").count() == 300          # _recover rolls back .old
+    assert os.path.exists(path)
+    wh.compact("t", sort_cols=["docid"])        # stale staging overwritten
+    assert wh.read("t").count() == 300
+
+    # crash point 3: both renames done, .old cleanup never ran
+    shutil.copytree(path, path + ".old")
+    wh.compact("t", sort_cols=["docid"])
+    assert wh.read("t").count() == 300
+    assert not os.path.exists(path + ".old")
