@@ -668,6 +668,18 @@ def q_jaccard_prefix(spark, sf_dir):
     return D.jaccard_pairs(_docs(spark, sf_dir), threshold=0.3)
 
 
+def q_jaccard_both(spark, sf_dir):
+    """jaccard_pairs + jaccard_prefix in one driver slot, tagged by
+    ``method`` ('low' = 0.08 inverted-index fallback, 'prefix' = 0.3
+    PPJoin prefix-filter path). Each half stays a standalone extras
+    entry."""
+    low = q_jaccard_pairs(spark, sf_dir).withColumn("method", F.lit("low"))
+    pre = q_jaccard_prefix(spark, sf_dir).withColumn(
+        "method", F.lit("prefix")
+    )
+    return low.unionByName(pre).select("method", "a", "b", "jaccard")
+
+
 def q_minhash_sigs(spark, sf_dir):
     return D.minhash_signatures(_docs(spark, sf_dir))
 
@@ -1105,6 +1117,20 @@ def q_frontier_robots_fmw(spark, sf_dir):
     )
 
 
+def q_frontier_suite(spark, sf_dir):
+    """The crawler-relational family's DRIVER row (T11): two full frontier
+    waves in one slot, tagged by ``method`` — 'base' = harvest → resolve →
+    canonicalize → scheme/extension filters → URL-pattern blacklist →
+    seen anti-join → per-host cap; 'fmw' = the same wave with
+    first-match-wins robots rules (Allow /p/1 before Disallow /p) instead
+    of the blacklist. Singles stay as extras rows."""
+    base = q_frontier(spark, sf_dir).withColumn("method", F.lit("base"))
+    fmw = q_frontier_robots_fmw(spark, sf_dir).withColumn(
+        "method", F.lit("fmw")
+    )
+    return base.unionByName(fmw).select("method", "host", "url")
+
+
 CURATION_Q_MIN = 0.528       # ~median en quality at sf0.01 — real cut
 CURATION_REP_MAX = 0.09      # ~p90 dup_bigram_frac — drops the worst tail
 
@@ -1411,8 +1437,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": q_range_join,
         # dedup / similarity / text analysis
         "dedup_exact": q_dedup_exact,
-        "jaccard_pairs": q_jaccard_pairs,
-        "jaccard_prefix": q_jaccard_prefix,
+        "jaccard_pairs": q_jaccard_both,  # low + prefix (merged r4)
+        "frontier_suite": q_frontier_suite,  # crawler family driver row (r4)
         "minhash_sigs": q_minhash_sigs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "dedup_clusters": q_dedup_clusters,
@@ -1461,6 +1487,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assign": q_split_assign,
         "domain_stats": q_domain_stats,
         "url_dedup": q_url_dedup,
+        "jaccard_prefix": q_jaccard_prefix,
         "frontier": q_frontier,
         "frontier_robots": q_frontier_robots,
         "frontier_robots_fmw": q_frontier_robots_fmw,
@@ -2056,7 +2083,11 @@ SELECT md5(text) AS content_hash, count(*) AS n_dupes, min(doc_id) AS keep_docid
 FROM documents GROUP BY md5(text)
 """
 
-    sqls["jaccard_pairs"] = _jaccard_sql(0.08, with_lsh=False)
+    sqls["jaccard_pairs"] = f"""
+SELECT 'low' AS method, * FROM ({_jaccard_sql(0.08, with_lsh=False)})
+UNION ALL
+SELECT 'prefix' AS method, * FROM ({_jaccard_sql(0.3, with_lsh=False)})
+"""
     sqls["jaccard_prefix"] = _jaccard_sql(0.3, with_lsh=False)
     sqls["minhash_lsh_pairs"] = _jaccard_sql(0.05, with_lsh=True)
 
@@ -2303,6 +2334,12 @@ WITH {_MESSY_URL_SQL}
         per_host_cap=FRONTIER_HOST_CAP,
         robots_fmw_sql=_ROBOTS_FMW_SQL,
     )
+
+    sqls["frontier_suite"] = f"""
+SELECT 'base' AS method, * FROM ({sqls["frontier"]})
+UNION ALL
+SELECT 'fmw' AS method, * FROM ({sqls["frontier_robots_fmw"]})
+"""
 
     from search_engine_spark.operators.pagerank import synthetic_edges_sql
 

@@ -77,6 +77,10 @@ def main() -> None:
     qs["bm25_multi"] = lambda spark, sf: _T.bm25_topk(
         E._docs(spark, sf), "spark table join", k=20
     )
+    # same economics for the r4 merged driver rows: time the ORIGINAL
+    # single-variant queries (the merged rows do 2x the work by design)
+    qs["jaccard_pairs"] = E.q_jaccard_pairs
+    qs["frontier"] = E.q_frontier
 
     # Warm-up (excluded from timings): run every bench query once at the
     # tiny sf so JVM/codegen/shuffle machinery and the Python worker pool

@@ -6,8 +6,12 @@ does BETWEEN fetches is pure relational algebra, and expressing it that
 way is exactly how a web-scale recrawl is planned:
 
 * :func:`frontier_step` — ONE wave: harvest → resolve → canonicalize →
-  filter → seen anti-join → robots rules → per-host politeness cap.
-* :func:`apply_robots` — robots.txt Disallow prefix rules as a filter.
+  filter → URL-pattern blacklist → seen anti-join → robots rules →
+  per-host politeness cap.
+* :func:`blacklist_regex` — the reference's configurable glob blacklist
+  (``*`` wildcard, full-url match) compiled to one anchored regex.
+* :func:`apply_robots` — robots.txt rules as a filter: Disallow-prefix
+  table, or first-match-wins (host, rule, allow, rule_order).
 * :func:`bfs_hops` — the crawl LOOP's reachability semantics: min link
   distance from seeds, Pregel-style frontier-only expansion.
 * :func:`resolve_redirects` — 301-chain resolution by pointer doubling
@@ -30,6 +34,10 @@ Reference semantics covered (/root/reference/src/cis5550/jobs/Crawler.java):
 * ``normalizeURL`` canonicalization (:121-307)    → ``urls.canonical_url``
 * seen-set check — skip URLs already in the crawl table (:706-778)
                                                   → anti-join on ``seen``
+* configurable URL-pattern blacklist, ``*``→``.*``, full match,
+  any-pattern-drops (:104-118, :571-586)          → :func:`blacklist_regex`
+* robots first-match-wins incl. Allow (:260-275 breaks on the first
+  matching prefix)                                → :func:`apply_robots`
 * per-host politeness (:441-497 hosts-table crawl delay): in a batch
   frontier step, time-per-host becomes COUNT-per-host — ``per_host_cap``
   keeps the next wave polite and kills host skew in the same stroke.
