@@ -230,6 +230,39 @@ def main() -> None:
         ],
     )
 
+    # 7d. frontier suite (driver row): blacklist is a plain JVM Filter in
+    # the harvest map stage; fmw robots = broadcast rules + min_by hash
+    # aggregation; the per-host cap windows both union legs
+    audit(
+        "frontier suite (base+blacklist | fmw robots)",
+        qs["frontier_suite"](spark, sf_dir),
+        [
+            ("union of the two waves", lambda p: "Union" in p),
+            ("broadcast robots rules", lambda p: "BroadcastHashJoin" in p),
+            ("first-match pick is a hash agg (min_by), not a window",
+             lambda p: "HashAggregate" in p),
+            ("windowed per-host cap", lambda p: "Window" in p),
+            ("no Python anywhere", lambda p: "MapInPandas" not in p
+             and "ArrowEvalPython" not in p and "BatchEvalPython" not in p),
+        ],
+    )
+
+    # 7e. html-built-index answer assembly: k-row docid/url lookups are
+    # IN-filtered scans joined broadcast; no corpus-sized shuffle
+    audit(
+        "topk_urls over the html-built index",
+        qs["topk_urls_html"](spark, sf_dir),
+        [
+            ("broadcast hit/body joins", lambda p: "BroadcastHashJoin" in p),
+            ("docid IN-filter pushed to the docs scan",
+             lambda p: "PushedFilters: [In(docid" in p.replace("\n", " ")
+             or "docid IN" in p or "in(docid" in p.lower()),
+            ("no sort-merge join", lambda p: "SortMergeJoin" not in p),
+            ("no Python in answer assembly", lambda p: "MapInPandas" not in p
+             and "ArrowEvalPython" not in p and "BatchEvalPython" not in p),
+        ],
+    )
+
     out = ["# PLANS.md — physical-plan audit\n\n",
            f"Generated by tools/explain_audit.py over `{sf_dir}`.\n\n"]
     all_ok = True
