@@ -394,6 +394,19 @@ def q_autocomplete(spark, sf_dir):
     return TS.autocomplete(terms, "s", k=10)
 
 
+SPELL_QUERY = "custmer tabel bg window"  # misspellings (incl. one
+# with multiple ranked candidates) + 1 exact hit
+
+
+def q_spell_suggest(spark, sf_dir):
+    """Did-you-mean: per query token, top-5 vocabulary terms within 2
+    edits ranked (dist asc, df desc, term asc); an exact-vocab token
+    returns only itself at dist 0. Length-window predicate pushed before
+    any levenshtein evaluates; ranking windows only the survivors."""
+    terms = T.document_frequencies(_docs(spark, sf_dir)).select("term", "df")
+    return TS.spell_suggest(terms, SPELL_QUERY, k=5, max_dist=2)
+
+
 def q_phrase(spark, sf_dir):
     """Q9: adjacency phrase search via position self-join."""
     toks = T.exploded_terms(_docs(spark, sf_dir))
@@ -1488,6 +1501,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_stats": q_domain_stats,
         "url_dedup": q_url_dedup,
         "jaccard_prefix": q_jaccard_prefix,
+        "spell_suggest": q_spell_suggest,
         "frontier": q_frontier,
         "frontier_robots": q_frontier_robots,
         "frontier_robots_fmw": q_frontier_robots_fmw,
@@ -1768,6 +1782,16 @@ SELECT term, df, cf,
        round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0), 6) AS idf
 FROM d, n
 """
+
+    _vocab_sql = (
+        f"WITH {TOKS_CTE}, {FLAT_CTE}, "
+        "tf AS (SELECT docid, term, count(*) AS tf FROM flat "
+        "GROUP BY docid, term) "
+        "SELECT term, count(*) AS df FROM tf GROUP BY term"
+    )
+    sqls["spell_suggest"] = TS.spell_suggest_sql(
+        SPELL_QUERY, k=5, max_dist=2, terms_sql=_vocab_sql
+    )
 
     sqls["idf"] = f"""
 WITH {TOKS_CTE}, {FLAT_CTE},

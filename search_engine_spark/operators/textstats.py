@@ -16,7 +16,7 @@ DuckDB-SQL mirrors for the correctness gate:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from search_engine_spark.operators.text_ops import tokens_col
 from search_engine_spark.oracle.text import STOPWORDS
@@ -218,6 +218,109 @@ def autocomplete(
         .orderBy(F.col(df_col).desc(), F.col(term).asc())
         .limit(k)
     )
+
+
+def spell_suggest(
+    terms: DataFrame,
+    query: str,
+    k: int = 5,
+    max_dist: int = 2,
+    term: str = "term",
+    df_col: str = "df",
+) -> DataFrame:
+    """(qterm, suggestion, dist, df) — "did you mean": for each token of
+    ``query`` that is NOT in the vocabulary, the top-k in-vocabulary terms
+    within ``max_dist`` edits, ranked (dist asc, df desc, term asc).
+    In-vocabulary tokens return themselves at dist 0 (nothing to fix).
+
+    Shape: ``terms`` is the index's term-stats table (vocabulary-sized,
+    orders of magnitude smaller than the corpus). The length-window
+    predicate ``abs(len(t) - len(q)) <= max_dist`` is a plain column
+    filter pushed into the scan before any levenshtein evaluates; the
+    edit distance itself is the JVM built-in (whole-stage codegen, no
+    Python). Per-qterm ranking is a window over the few hundred
+    length-window survivors. At a 10^9-term vocabulary the scale path is
+    a deletes-index (SymSpell): precompute delete-variants of the vocab
+    once, equi-join query variants against it — same output contract,
+    one more table; the brute scan here is the exact verifier."""
+    from search_engine_spark.oracle.text import tokenize
+
+    qterms = [
+        (t, len(t))
+        for t in dict.fromkeys(
+            t for t, _ in tokenize(query, stem=False, cap=None)
+        )
+    ]
+    spark = terms.sparkSession
+    if not qterms:
+        return spark.createDataFrame(
+            [], "qterm string, suggestion string, dist int, df bigint"
+        )
+    qdf = spark.createDataFrame(qterms, "qterm string, qlen int")
+    cand = (
+        terms.select(
+            F.col(term).alias("suggestion"), F.col(df_col).alias("df")
+        )
+        .join(
+            F.broadcast(qdf),
+            F.abs(F.length("suggestion") - F.col("qlen")) <= max_dist,
+        )
+        .withColumn(
+            "dist", F.levenshtein(F.col("qterm"), F.col("suggestion"))
+        )
+        .filter(F.col("dist") <= max_dist)
+    )
+    w = Window.partitionBy("qterm").orderBy(
+        F.col("dist").asc(), F.col("df").desc(), F.col("suggestion").asc()
+    )
+    exact = cand.filter(F.col("dist") == 0).select("qterm").distinct()
+    ranked = (
+        cand.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk", "qlen")
+    )
+    # a qterm with an exact vocab hit keeps only its dist-0 row
+    return ranked.join(exact, "qterm", "left_semi").filter(
+        F.col("dist") == 0
+    ).unionByName(
+        ranked.join(exact, "qterm", "left_anti")
+    ).select(
+        "qterm", "suggestion",
+        F.col("dist").cast("long").alias("dist"),
+        F.col("df").cast("long").alias("df"),
+    )
+
+
+def spell_suggest_sql(
+    query: str, k: int = 5, max_dist: int = 2,
+    terms_sql: str = "SELECT term, df FROM terms",
+) -> str:
+    """DuckDB mirror of :func:`spell_suggest` over a (term, df) relation."""
+    from search_engine_spark.oracle.text import tokenize
+
+    qterms = list(
+        dict.fromkeys(t for t, _ in tokenize(query, stem=False, cap=None))
+    )
+    vals = ", ".join(f"('{t}')" for t in qterms) or "(NULL)"
+    return f"""
+WITH vocab AS ({terms_sql}),
+q(qterm) AS (VALUES {vals}),
+cand AS (
+  SELECT q.qterm, v.term AS suggestion,
+         levenshtein(q.qterm, v.term) AS dist, v.df
+  FROM q JOIN vocab v ON abs(len(v.term) - len(q.qterm)) <= {max_dist}
+  WHERE levenshtein(q.qterm, v.term) <= {max_dist}
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY qterm ORDER BY dist ASC, df DESC, suggestion ASC
+  ) AS rk FROM cand
+),
+exact AS (SELECT DISTINCT qterm FROM cand WHERE dist = 0)
+SELECT qterm, suggestion, dist::BIGINT AS dist, df::BIGINT AS df FROM ranked
+WHERE rk <= {k}
+  AND (dist = 0 OR qterm NOT IN (SELECT qterm FROM exact))
+"""
 
 
 def length_quantiles(

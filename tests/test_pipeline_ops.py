@@ -910,3 +910,45 @@ def test_lm_score_external_model(spark):
     lm = TS.lm_logprob_table(a)
     out = TS.lm_score(b, lm=lm).collect()
     assert len(out) == 1 and out[0]["n_tokens"] == 1  # 'unseen' dropped
+
+
+def test_spell_suggest_ranking_and_exact_hits(spark):
+    """Did-you-mean contract: misspellings rank candidates
+    (dist asc, df desc, term asc); an in-vocabulary token returns ONLY
+    itself at dist 0; a token with nothing within max_dist returns no
+    rows; k truncates per qterm."""
+    vocab = spark.createDataFrame(
+        [("table", 100), ("cable", 90), ("tale", 80), ("label", 70),
+         ("spark", 60), ("sparse", 10), ("window", 50)],
+        "term string, df long",
+    )
+    got = TS.spell_suggest(vocab, "tabel spark zzzzzzz", k=3).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["qterm"], []).append(
+            (r["suggestion"], r["dist"], r["df"])
+        )
+    for q in by_q:  # rows come back unordered; rank = the sort contract
+        by_q[q].sort(key=lambda x: (x[1], -x[2], x[0]))
+    # tabel: label is ONE substitution away (t→l); table/tale are dist 2;
+    # cable is dist 3 (excluded). dist-2 ties break by df desc.
+    assert [s for s, _d, _f in by_q["tabel"]] == ["label", "table", "tale"]
+    assert by_q["tabel"][0][1] == 1
+    # spark is in-vocabulary: only itself, dist 0 (sparse NOT suggested)
+    assert by_q["spark"] == [("spark", 0, 60)]
+    # nothing within 2 edits of zzzzzzz
+    assert "zzzzzzz" not in by_q
+
+    # DuckDB mirror parity on the same vocabulary
+    import duckdb
+
+    sql = TS.spell_suggest_sql(
+        "tabel spark zzzzzzz", k=3,
+        terms_sql="SELECT * FROM (VALUES ('table', 100), ('cable', 90), "
+                  "('tale', 80), ('label', 70), ('spark', 60), "
+                  "('sparse', 10), ('window', 50)) AS v(term, df)",
+    )
+    mirror = sorted(tuple(r) for r in duckdb.sql(sql).fetchall())
+    assert mirror == sorted(
+        (r["qterm"], r["suggestion"], r["dist"], r["df"]) for r in got
+    )
