@@ -681,6 +681,35 @@ def q_jaccard_prefix(spark, sf_dir):
     return D.jaccard_pairs(_docs(spark, sf_dir), threshold=0.3)
 
 
+PARA_CHUNK = 3  # tokens per synthetic paragraph (small => real cross-doc dups)
+
+
+def _para_docs(spark, sf_dir):
+    """documents with text re-chunked into '\n\n'-separated 3-token
+    paragraphs (the flat synthetic text has no paragraph structure of its
+    own); 3-token windows over a ~60-term vocabulary produce genuine
+    cross-doc duplicate paragraphs for the dedup to bite on."""
+    toks = T.tokens_col("text")
+    n_chunks = F.ceil(F.size(toks) / F.lit(PARA_CHUNK)).cast("int")
+    paras = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(toks, i * PARA_CHUNK + 1, PARA_CHUNK)
+        ),
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.array_join(paras, "\n\n").alias("text"),
+    ).filter(F.size(toks) > 0)
+
+
+def q_paragraph_dedup(spark, sf_dir):
+    """Corpus-wide exact paragraph dedup: every paragraph survives only at
+    its first (docid, idx) occurrence; docs reassemble from survivors.
+    One para-keyed hash agg + co-partitioned join + docid reassembly."""
+    return D.paragraph_dedup(_para_docs(spark, sf_dir))
+
+
 def q_jaccard_both(spark, sf_dir):
     """jaccard_pairs + jaccard_prefix in one driver slot, tagged by
     ``method`` ('low' = 0.08 inverted-index fallback, 'prefix' = 0.3
@@ -1502,6 +1531,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": q_url_dedup,
         "jaccard_prefix": q_jaccard_prefix,
         "spell_suggest": q_spell_suggest,
+        "paragraph_dedup": q_paragraph_dedup,
         "frontier": q_frontier,
         "frontier_robots": q_frontier_robots,
         "frontier_robots_fmw": q_frontier_robots_fmw,
@@ -1789,6 +1819,24 @@ FROM d, n
         "GROUP BY docid, term) "
         "SELECT term, count(*) AS df FROM tf GROUP BY term"
     )
+    # paragraph dedup over the SAME synthetic re-chunking the Spark side
+    # builds (3-token windows joined by blank lines)
+    _para_src = f"""
+SELECT doc_id,
+       array_to_string(
+         list_transform(
+           generate_series(0, CAST(ceil(len(toks)/{PARA_CHUNK}.0) AS INT) - 1),
+           i -> array_to_string(
+             toks[i*{PARA_CHUNK}+1 : i*{PARA_CHUNK}+{PARA_CHUNK}], ' ')),
+         chr(10) || chr(10)) AS text
+FROM (SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS toks
+      FROM documents)
+WHERE len(toks) > 0
+"""
+    sqls["paragraph_dedup"] = D.paragraph_dedup_sql(docs_select=_para_src)
+
     sqls["spell_suggest"] = TS.spell_suggest_sql(
         SPELL_QUERY, k=5, max_dist=2, terms_sql=_vocab_sql
     )

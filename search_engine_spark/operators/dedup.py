@@ -67,6 +67,120 @@ def exact_dedup(df: DataFrame, docid: str = "doc_id", text: str = "text") -> Dat
     return df.join(keep, docid, "left_semi")
 
 
+# Paragraph index bound for the packed (docid, idx) keep-key: paragraphs
+# per document must stay below 2^20 (~1M). A doc with more paragraphs than
+# that is not a document.
+PARA_IDX_BITS = 20
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    docid: str = "doc_id",
+    text: str = "text",
+    sep: str = r"\n{2,}",
+    join_sep: str = "\n\n",
+) -> DataFrame:
+    """(docid, clean_text, n_paras, n_kept) — corpus-wide EXACT
+    paragraph-level dedup (the standard training-data pass one level below
+    document dedup: boilerplate headers/footers/navigation repeat across
+    pages that are not document-level duplicates).
+
+    Every paragraph (split on ``sep``) is kept only at its FIRST corpus
+    occurrence — smallest packed ``docid * 2^PARA_IDX_BITS + idx`` key —
+    and each doc's survivors reassemble in original order joined by
+    ``join_sep`` (separator runs are normalized by reassembly). Docs whose
+    every paragraph is a repeat come back with ``clean_text = ''`` and
+    ``n_kept = 0`` — the caller decides whether empty docs survive.
+
+    Shape at 100 TB: one paragraph-keyed hash aggregation (partial
+    map-side combine; a boilerplate paragraph repeated 10^9 times is ONE
+    group, never one task's sort), one co-partitioned self-join on the
+    paragraph key, one docid-keyed reassembly aggregation. Exact — the
+    group key is the paragraph text itself; swap the key for
+    ``xxhash64(para)`` when shuffle bytes dominate and a ~2^-64 collision
+    merge is acceptable."""
+    d, t = F.col(docid), F.col(text)
+    paras = df.select(
+        d.alias("docid"),
+        F.posexplode(F.split(t, sep)).alias("idx", "para"),
+    ).filter(F.length(F.trim(F.col("para"))) > 0)
+    key = (
+        F.col("docid") * F.lit(1 << PARA_IDX_BITS) + F.col("idx")
+    ).alias("k")
+    first = paras.groupBy("para").agg(F.min(key).alias("keep_k"))
+    kept = (
+        paras.withColumn("k", key)
+        .join(first, "para")  # co-partitioned: both sides para-keyed
+        .filter(F.col("k") == F.col("keep_k"))
+        .select("docid", "idx", "para")
+    )
+    rebuilt = kept.groupBy("docid").agg(
+        F.concat_ws(
+            join_sep,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "para"))),
+                lambda s: s["para"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = paras.groupBy("docid").agg(F.count(F.lit(1)).alias("n_paras"))
+    return (
+        df.select(d.alias("docid"))
+        .join(totals, "docid", "left")
+        .join(rebuilt, "docid", "left")
+        .select(
+            "docid",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_paras", F.lit(0)).cast("long").alias("n_paras"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        )
+    )
+
+
+def paragraph_dedup_sql(
+    docs_select: str = "SELECT doc_id, text FROM documents",
+    sep: str = r"\n{2,}",
+    join_sep: str = "\n\n",
+) -> str:
+    """DuckDB mirror of :func:`paragraph_dedup` over a (doc_id, text)
+    relation."""
+    return f"""
+WITH src AS ({docs_select}),
+split AS (
+  SELECT doc_id AS docid, string_split_regex(text, '{sep}') AS ps FROM src
+),
+paras AS (
+  SELECT docid, g.i - 1 AS idx, list_extract(ps, g.i) AS para
+  FROM split, unnest(generate_series(1, len(ps))) AS g(i)
+  WHERE len(trim(list_extract(ps, g.i))) > 0
+),
+first AS (
+  SELECT para, min(docid * {1 << PARA_IDX_BITS} + idx) AS keep_k
+  FROM paras GROUP BY para
+),
+kept AS (
+  SELECT p.docid, p.idx, p.para
+  FROM paras p JOIN first f
+    ON p.para = f.para AND p.docid * {1 << PARA_IDX_BITS} + p.idx = f.keep_k
+),
+rebuilt AS (
+  SELECT docid,
+         string_agg(para, '{join_sep}' ORDER BY idx) AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY docid
+),
+totals AS (SELECT docid, count(*) AS n_paras FROM paras GROUP BY docid)
+SELECT s.doc_id AS docid,
+       coalesce(r.clean_text, '') AS clean_text,
+       coalesce(t.n_paras, 0)::BIGINT AS n_paras,
+       coalesce(r.n_kept, 0)::BIGINT AS n_kept
+FROM src s
+LEFT JOIN totals t ON t.docid = s.doc_id
+LEFT JOIN rebuilt r ON r.docid = s.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Shingling
 # ---------------------------------------------------------------------------

@@ -952,3 +952,40 @@ def test_spell_suggest_ranking_and_exact_hits(spark):
     assert mirror == sorted(
         (r["qterm"], r["suggestion"], r["dist"], r["df"]) for r in got
     )
+
+
+def test_paragraph_dedup_first_occurrence_wins(spark):
+    """Corpus-wide paragraph dedup: a repeated paragraph survives only at
+    its first (docid, idx) occurrence; docs reassemble in order; docs with
+    zero survivors come back empty, not missing; counts are exact."""
+    rows = [
+        (0, "alpha beta\n\nshared boiler plate\n\ngamma"),
+        (1, "shared boiler plate\n\ndelta"),       # para 0 is a repeat
+        (2, "shared boiler plate"),                # ALL paragraphs repeats
+        (3, "alpha beta\n\n\n\nalpha beta"),       # intra-doc repeat + run
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["docid"]: r.asDict() for r in D.paragraph_dedup(docs).collect()}
+    assert got[0]["clean_text"] == "alpha beta\n\nshared boiler plate\n\ngamma"
+    assert (got[0]["n_paras"], got[0]["n_kept"]) == (3, 3)
+    assert got[1]["clean_text"] == "delta"
+    assert (got[1]["n_paras"], got[1]["n_kept"]) == (2, 1)
+    assert got[2]["clean_text"] == "" and got[2]["n_kept"] == 0
+    # doc 0 already claimed "alpha beta"; doc 3's two copies both drop...
+    # no: doc 0 IS the first occurrence, so doc 3 keeps nothing of it
+    assert got[3]["clean_text"] == "" and got[3]["n_kept"] == 0
+    assert got[3]["n_paras"] == 2  # the \n\n\n\n run is ONE separator
+
+    # DuckDB mirror parity on the same table
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("pdocs", __import__("pandas").DataFrame(
+        rows, columns=["doc_id", "text"]
+    ))
+    sql = D.paragraph_dedup_sql("SELECT doc_id, text FROM pdocs")
+    mirror = sorted(tuple(r) for r in con.execute(sql).fetchall())
+    assert mirror == sorted(
+        (r["docid"], r["clean_text"], r["n_paras"], r["n_kept"])
+        for r in D.paragraph_dedup(docs).collect()
+    )
