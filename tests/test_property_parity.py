@@ -288,3 +288,132 @@ def test_resolve_href_cross_engine(spark, pairs):
         ).fetchall()
     )
     assert got == want
+
+
+_URL_PATH = st.text(
+    alphabet=st.characters(codec="ascii", min_codepoint=33,
+                           max_codepoint=126,
+                           exclude_characters="'\\\"<>#?"),
+    max_size=10,
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(_URL_PATH, min_size=1, max_size=12),
+    st.lists(
+        st.lists(st.one_of(_URL_PATH, st.just("*")), max_size=4)
+        .map("".join),
+        min_size=1, max_size=4,
+    ),
+)
+def test_blacklist_glob_three_way_parity(spark, paths, patterns):
+    """blacklist_regex glob semantics agree across Java regex (Spark
+    rlike), RE2 (DuckDB regexp_matches), and a pure-Python full-match
+    reference where ONLY '*' is special — for arbitrary pattern content
+    including regex metacharacters that must stay literal."""
+    import re as _re
+
+    from search_engine_spark.operators.frontier import blacklist_regex
+
+    urls = [f"https://h.example/{p}" for p in paths]
+    pats = [f"https://h.example/{p}" for p in patterns]
+    rx = blacklist_regex(pats)
+
+    def py_ref(u):
+        return any(
+            _re.fullmatch(
+                ".*".join(_re.escape(seg) for seg in p.split("*")), u
+            )
+            for p in pats
+        )
+
+    want = sorted(u for u in set(urls) if not py_ref(u))
+    df = spark.createDataFrame([(u,) for u in set(urls)], "url string")
+    got = sorted(
+        r["url"]
+        for r in df.filter(~df["url"].rlike(rx)).collect()
+    )
+    assert got == want
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE urls AS SELECT * FROM (VALUES "
+        + ", ".join("(?)" for _ in set(urls)) + ") AS t(url)",
+        list(set(urls)),
+    )
+    duck = sorted(
+        r[0]
+        for r in con.execute(
+            "SELECT url FROM urls WHERE NOT regexp_matches(url, ?)", [rx]
+        ).fetchall()
+    )
+    assert duck == want
+
+
+_WORD = st.text(
+    alphabet=st.characters(codec="ascii", min_codepoint=97,
+                           max_codepoint=122),
+    min_size=1, max_size=8,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.tuples(_WORD, st.integers(1, 500)), min_size=1, max_size=30),
+    st.lists(_WORD, min_size=1, max_size=3),
+)
+def test_spell_suggest_cross_engine(spark, vocab_rows, qwords):
+    """Levenshtein ranking parity: Spark's JVM levenshtein + window and
+    DuckDB's levenshtein + row_number agree on arbitrary vocabularies and
+    query tokens (ties broken (dist, df desc, term))."""
+    vocab = {}
+    for w, df_ in vocab_rows:
+        vocab[w] = max(vocab.get(w, 0), df_)
+    rows = sorted(vocab.items())
+    vdf = spark.createDataFrame(rows, "term string, df long")
+    query = " ".join(qwords)
+    got = sorted(
+        (r["qterm"], r["suggestion"], r["dist"], r["df"])
+        for r in TS.spell_suggest(vdf, query, k=4).collect()
+    )
+    import duckdb
+
+    terms_sql = ("SELECT * FROM (VALUES "
+                 + ", ".join(f"('{w}', {d})" for w, d in rows)
+                 + ") AS v(term, df)")
+    sql = TS.spell_suggest_sql(query, k=4, terms_sql=terms_sql)
+    want = sorted(tuple(r) for r in duckdb.sql(sql).fetchall())
+    assert got == want
+
+
+_PARA_POOL = ["alpha beta", "shared boiler", "gamma delta", "x", "metric row"]
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(_PARA_POOL), max_size=5),
+        min_size=1, max_size=10,
+    )
+)
+def test_paragraph_dedup_cross_engine(spark, doc_paras):
+    """paragraph_dedup == its DuckDB mirror on random paragraph multisets
+    (heavy cross-doc repetition by construction, empty docs included)."""
+    docs = [(i, "\n\n".join(ps)) for i, ps in enumerate(doc_paras)]
+    import search_engine_spark.operators.dedup as D
+
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(tuple(r) for r in D.paragraph_dedup(sdf).collect())
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, ?)" for i in range(len(docs)))
+        + ") AS t(doc_id, text)",
+        [t for _i, t in docs],
+    )
+    want = sorted(tuple(r) for r in con.sql(D.paragraph_dedup_sql()).fetchall())
+    assert got == want
