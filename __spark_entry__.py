@@ -824,6 +824,36 @@ def q_bm25f(spark, sf_dir):
     return T.bm25f_topk(fdocs, anchors, BM25F_QUERY, k=20)
 
 
+TITLE_W = 3.0
+
+
+def q_bm25f_title(spark, sf_dir):
+    """Title-field BM25F (the classic title boost): the <title> extracted
+    from the RAW html corpus becomes the second field, combined with the
+    body tf BEFORE saturation (same early-combination machinery as the
+    anchor variant — one saturation curve, so a weak title echo cannot
+    outscore a strong body match). Title extraction is the REAL regex
+    path over the html column."""
+    from search_engine_spark.operators import query as IQm
+
+    corpus = _html_corpus(spark, sf_dir)
+    d = F.col("doc_id")
+    fdocs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.lpad(d.cast("string"), 12, "0").alias("url"),
+        "text",
+    )
+    titles = (
+        corpus.select(
+            F.col("url").alias("dst"),
+            F.explode(T.tokens_col(IQm.title_expr("html"))).alias("term"),
+        )
+        .groupBy("dst", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return T.bm25f_topk(fdocs, titles, BM25F_QUERY, k=20, w_anchor=TITLE_W)
+
+
 def q_anchor_bm25(spark, sf_dir):
     """BM25 over the inbound-anchor bags: link targets ranked by the
     words other pages link to them with (off-page relevance — a target
@@ -1532,6 +1562,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_prefix": q_jaccard_prefix,
         "spell_suggest": q_spell_suggest,
         "paragraph_dedup": q_paragraph_dedup,
+        "bm25f_title": q_bm25f_title,
         "frontier": q_frontier,
         "frontier_robots": q_frontier_robots,
         "frontier_robots_fmw": q_frontier_robots_fmw,
@@ -2454,6 +2485,25 @@ pages AS (
                                x -> x <> ''))[1:2], ' '),
                 '</a>') AS html
   FROM fdocs f, n2)"""
+    _bm25f_title_cte = """fdocs AS (
+  SELECT doc_id AS docid,
+         lpad(doc_id::VARCHAR, 12, '0') AS url,
+         text
+  FROM documents),
+ftitles AS (
+  SELECT lpad(doc_id::VARCHAR, 12, '0') AS dst, t.term,
+         count(*)::BIGINT AS tf
+  FROM (SELECT doc_id,
+               (list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                            x -> x <> ''))[1:4] AS ft
+        FROM documents), unnest(ft) AS t(term)
+  GROUP BY 1, 2)"""
+    sqls["bm25f_title"] = (
+        f"WITH {_bm25f_title_cte},"
+        + T.bm25f_sql_tail(BM25F_QUERY, k=20, w_anchor=TITLE_W,
+                           anchors_rel="ftitles")
+    )
+
     sqls["bm25f"] = (
         f"WITH {FR._anchor_ctes(_bm25f_pages_cte)},\n"
         "fanchors AS (SELECT dst, term, count(*)::BIGINT AS tf "
