@@ -2522,7 +2522,8 @@ lp AS (
 )
 SELECT f.docid, count(*)::BIGINT AS n_tokens,
        sum(lp.lp_micro)::BIGINT AS nats_micro,
-       round(-(sum(lp.lp_micro)::BIGINT) / 1000000.0 / count(*), 6) AS avg_nats
+       ((-(sum(lp.lp_micro)::BIGINT)) // count(*))::DOUBLE / 1000000.0
+         AS avg_nats
 FROM flat f JOIN lp USING (term)
 GROUP BY f.docid
 """

@@ -522,9 +522,15 @@ def lm_score(
             "docid",
             "n_tokens",
             "nats_micro",
-            F.round(
-                -F.col("nats_micro") / F.lit(LM_QUANT) / F.col("n_tokens"),
-                Q_DECIMALS,
+            # avg truncated to micro-nat precision via INTEGER division
+            # (both engines' int div truncates toward zero; the numerator
+            # is positive), then one exact double op. No float rounding
+            # anywhere, so the value is bit-identical across engines and
+            # plans — F.round at 6 dp sat on a .5 boundary at sf0.1 and
+            # split from DuckDB's round by one ulp (review find).
+            (
+                F.expr("(-nats_micro) div n_tokens").cast("double")
+                / F.lit(float(LM_QUANT))
             ).alias("avg_nats"),
         )
     )
