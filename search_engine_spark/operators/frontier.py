@@ -704,7 +704,15 @@ def frontier_sql(
     operator); ``robots_fmw_sql`` instead yields
     (host, rule, allow, rule_order) first-match-wins rules;
     ``blacklist`` the same glob patterns passed to
-    :func:`frontier_step`."""
+    :func:`frontier_step`. ``robots_sql`` and ``robots_fmw_sql`` are
+    mutually exclusive — both branches define CTEs named robots/allowed,
+    so combining them would emit duplicate CTE names (review finding);
+    pick one robots semantics per wave, as :func:`frontier_step` does."""
+    if robots_sql is not None and robots_fmw_sql is not None:
+        raise ValueError(
+            "frontier_sql: pass robots_sql OR robots_fmw_sql, not both "
+            "(the branches share CTE names; pick one robots semantics)"
+        )
     resolved = resolve_href_sql("src", "href")
     bl_pred = (
         f"\n    AND NOT regexp_matches(url, "

@@ -542,13 +542,17 @@ def lm_score(
 PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PII_IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
 # Domestic NNN-NNN-NNNN plus international "+NNN ..." / "+CC NNN ..."
-# forms. The plus branch is separate because \b can never sit before '+'
-# (no word boundary between a non-word char and '+'), so a leading \b\+?
-# silently left every '+' unconsumed and unmatched (review finding); the
-# no-plus branch keeps \b so digit runs never match mid-number.
+# forms. \b can never sit before '+' (no word boundary between a non-word
+# char and '+'), so the left edge is an explicit capturing guard
+# `(^|[^0-9A-Za-z_])` — identical to \b semantics for the digit branch
+# (word chars are [0-9A-Za-z_]) and a REAL boundary for the '+' branch,
+# so 'id9+215 555 0100' no longer redacts from the '+' (review finding).
+# The guard CONSUMES one character; replacements restore it via the \1/$1
+# backreference (engine-specific syntax — the pattern itself is shared).
 PII_PHONE_RE = (
-    r"(?:\+(?:[0-9]{1,3}[ .-])?[0-9]{3}|\b[0-9]{3})"
-    r"[ .-][0-9]{3}[ .-][0-9]{4}\b"
+    r"(^|[^0-9A-Za-z_])"
+    r"((?:\+(?:[0-9]{1,3}[ .-])?)?[0-9]{3}"
+    r"[ .-][0-9]{3}[ .-][0-9]{4})\b"
 )
 
 
@@ -575,7 +579,7 @@ def pii_scrub(
             "<IP>",
         ),
         PII_PHONE_RE,
-        "<PHONE>",
+        "$1<PHONE>",  # $1 restores the consumed left-guard char
     )
     return df.select(
         F.col(docid).alias("docid"),

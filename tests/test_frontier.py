@@ -340,3 +340,20 @@ def test_bm25f_reduces_to_bm25_at_zero_weight(spark):
     # body tf for either term) enters the result purely via anchors
     w = {r["docid"]: r["score"] for r in bm25f_topk(docs, anchors, q).collect()}
     assert 3 in w and w[3] > 0
+
+
+def test_frontier_sql_rejects_both_robots_variants():
+    """The prefix and first-match-wins robots branches define identically
+    named CTEs; passing both must fail loudly, not emit invalid SQL
+    (review finding)."""
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not both"):
+        FR.frontier_sql(
+            "pages AS (SELECT 'u' AS url, '' AS html)",
+            robots_sql="SELECT 'h' AS host, '/x' AS disallow",
+            robots_fmw_sql=(
+                "SELECT 'h' AS host, '/x' AS rule, FALSE AS allow,"
+                " 1 AS rule_order"
+            ),
+        )

@@ -758,6 +758,9 @@ def test_pii_phone_international_plus_consumed(spark):
             (1, "call +215 555 0100 ok"),
             (2, "cc +1 215 555 0100 end"),
             (3, "id 12345-678-9012 is not a phone"),
+            (4, "id9+215 555 0100 glued"),  # word char before '+': no match
+            (5, "+215 555 0100 at start"),  # '^' guard branch
+            (6, "see (+215 555 0100) wrapped"),  # punct guard restored
         ],
         "doc_id long, text string",
     )
@@ -767,6 +770,13 @@ def test_pii_phone_international_plus_consumed(spark):
     assert got[1]["n_phones"] == 1 and got[2]["n_phones"] == 1
     assert got[3]["clean_text"] == "id 12345-678-9012 is not a phone"
     assert got[3]["n_phones"] == 0
+    # left-guard (review finding): a word char glued to '+' means the '+'
+    # is NOT an international prefix — it survives as the boundary char
+    # and only the domestic number redacts (old code ate the '+' too)
+    assert got[4]["clean_text"] == "id9+<PHONE> glued"
+    assert got[4]["n_phones"] == 1
+    assert got[5]["clean_text"] == "<PHONE> at start"
+    assert got[6]["clean_text"] == "see (<PHONE>) wrapped"
 
 
 def test_split_assign_deterministic_and_stable(spark):

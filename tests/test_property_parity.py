@@ -117,7 +117,7 @@ SELECT doc_id AS docid,
        regexp_replace(regexp_replace(regexp_replace(
          text, '{TS.PII_EMAIL_RE}', '<EMAIL>', 'g'),
          '{TS.PII_IPV4_RE}', '<IP>', 'g'),
-         '{TS.PII_PHONE_RE}', '<PHONE>', 'g') AS clean_text,
+         '{TS.PII_PHONE_RE}', '\\1<PHONE>', 'g') AS clean_text,
        len(regexp_extract_all(text, '{TS.PII_EMAIL_RE}'))::BIGINT AS n_emails,
        len(regexp_extract_all(text, '{TS.PII_IPV4_RE}'))::BIGINT AS n_ips,
        len(regexp_extract_all(text, '{TS.PII_PHONE_RE}'))::BIGINT AS n_phones
