@@ -1356,12 +1356,16 @@ def q_media_frames(spark, sf_dir):
 # --- approximate ops (rows-only gate: no SQL oracle) ------------------------
 
 def q_lsh_topk(spark, sf_dir):
+    """Sign-LSH serving path at DEFAULT settings: margin-ordered
+    multi-probe (Lv et al. 2007) with the integer-quantized probe plan —
+    recall floored at S.LSH_MULTIPROBE_RECALL_FLOOR on this corpus
+    (bench-measured per round)."""
     emb = _t(spark, sf_dir, "embeddings")
     qv = [
         float(x)
         for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
     ]
-    return S.lsh_topk(emb, qv, k=10, n_planes=6)
+    return S.lsh_topk_multiprobe(emb, qv, k=10)
 
 
 def q_ivf_topk(spark, sf_dir):
@@ -1428,7 +1432,7 @@ def q_ann_topk(spark, sf_dir):
         (int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in rows
     ]
     qv = pivots[0][1]
-    lsh = S.lsh_topk(emb, qv, k=10, n_planes=6).withColumn(
+    lsh = S.lsh_topk_multiprobe(emb, qv, k=10).withColumn(
         "method", F.lit("lsh")
     )
     ivf = S.ivf_topk(emb, pivots, qv, k=10, nprobe=3).withColumn(
@@ -1729,32 +1733,62 @@ def _plane_lit(plane: list[float]) -> str:
     return "CAST([" + ", ".join(str(x) for x in plane) + "] AS DOUBLE[])"
 
 
-def _lsh_topk_sql(k: int = 10, n_planes: int = 6, dim: int = 64,
-                  qid: int = 0, probe_hamming: int = 1) -> str:
-    """Mirror of S.lsh_topk: sign-LSH signatures from the deterministic
-    md5-derived +/-1 hyperplanes (embedded as literals), candidates = buckets
-    within probe_hamming bits of the query's bucket, exact cosine inside."""
+def _plane_int_lit(plane: list[float]) -> str:
+    return "CAST([" + ", ".join(str(int(x)) for x in plane) + "] AS BIGINT[])"
+
+
+def _lsh_multiprobe_sql(k: int = 10, n_planes: int = 8, dim: int = 64,
+                        qid: int = 0, min_candidates: int | None = None,
+                        budget_frac: float = 0.25) -> str:
+    """Mirror of S.lsh_topk_multiprobe: INTEGER-quantized plane dots
+    (floor(x * 2^20) * +/-1 summed as BIGINT — exact, so signatures and
+    the probe order are bit-identical to Spark's), buckets taken in
+    ascending flip-margin order until the probed population reaches
+    max(min_candidates, ceil(budget_frac * n)), exact cosine inside."""
     planes = S.hyperplanes(dim, n_planes)
+    if min_candidates is None:
+        min_candidates = 20 * k
     dcols = ", ".join(
-        f"sum(list_extract(e.embedding, g.i)::DOUBLE"
-        f" * list_extract({_plane_lit(p)}, g.i)) AS d{j}"
+        f"sum(floor(list_extract(e.embedding, g.i)::DOUBLE * {S.DOT_QUANT})::BIGINT"
+        f" * list_extract({_plane_int_lit(p)}, g.i))::BIGINT AS d{j}"
         for j, p in enumerate(planes)
     )
     sig_expr = " + ".join(
         f"(CASE WHEN d{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(n_planes)
     )
+    cost_expr = " + ".join(
+        f"(CASE WHEN ((xor(b.sig, q.sig) >> {j}) & 1) = 1"
+        f" THEN abs(q.d{j}) ELSE 0 END)"
+        for j in range(n_planes)
+    )
     return f"""
-WITH dots AS (
+WITH idots AS (
   SELECT e.vec_id, {dcols}
   FROM embeddings e, unnest(generate_series(1, {dim})) AS g(i)
   GROUP BY e.vec_id
 ),
-sigs AS (SELECT vec_id, ({sig_expr})::BIGINT AS sig FROM dots),
-qs AS (SELECT sig AS qsig FROM sigs WHERE vec_id = {qid}),
-cand AS (
-  SELECT s.vec_id FROM sigs s, qs
-  WHERE bit_count(xor(s.sig, qs.qsig)) <= {probe_hamming}
+sigs AS (SELECT vec_id, ({sig_expr})::BIGINT AS sig,
+                {', '.join(f'd{j}' for j in range(n_planes))}
+         FROM idots),
+qrow AS (SELECT * FROM sigs WHERE vec_id = {qid}),
+bcnt AS (SELECT sig, count(*)::BIGINT AS cnt FROM sigs GROUP BY sig),
+cost AS (
+  SELECT b.sig, b.cnt, ({cost_expr})::BIGINT AS fc
+  FROM bcnt b, qrow q
 ),
+ord_ AS (
+  SELECT sig, cnt,
+         sum(cnt) OVER (ORDER BY fc ASC, sig ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM cost
+),
+tot AS (SELECT sum(cnt)::BIGINT AS n FROM bcnt),
+chosen AS (
+  SELECT sig FROM ord_, tot
+  WHERE cum - cnt < least(greatest({min_candidates},
+                                   ceil({budget_frac} * n)::BIGINT), n)
+),
+cand AS (SELECT s.vec_id FROM sigs s JOIN chosen USING (sig)),
 q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {qid}),
 sc AS (
   SELECT e.vec_id,
@@ -2235,7 +2269,7 @@ WHERE coalesce(cc.cluster, d.doc_id) = d.doc_id
 
     sqls["simhash"] = _simhash_sql()
     sqls["simhash_near_pairs"] = _simhash_near_pairs_sql(max_hamming=3)
-    sqls["lsh_topk"] = _lsh_topk_sql(k=10, n_planes=6)
+    sqls["lsh_topk"] = _lsh_multiprobe_sql(k=10)
     sqls["ivf_topk"] = _ivf_topk_sql(k=10, n_pivots=8, nprobe=3)
 
     sqls["cosine_topk"] = f"""

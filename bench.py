@@ -135,12 +135,22 @@ def main() -> None:
             r["vec_id"] for r in S.cosine_topk(emb, qv, k=10).collect()
         }
         approx = {
-            "lsh": S.lsh_topk(emb, qv, k=10, n_planes=6),
+            "lsh": S.lsh_topk_multiprobe(emb, qv, k=10),  # DEFAULT settings
             "ivf": S.ivf_topk(emb, pivots, qv, k=10, nprobe=3),
         }
         for method, df in approx.items():
             got = {r["vec_id"] for r in df.collect()}
             ann_recall[method] = round(len(got & exact) / len(exact), 3)
+        # declared floor (similarity.py): a tuning regression that drops
+        # the default-config lsh recall below it must fail LOUDLY here
+        # and in tests/test_pipeline_ops.py, not ship silently
+        ann_recall["lsh_floor"] = S.LSH_MULTIPROBE_RECALL_FLOOR
+        if ann_recall["lsh"] < S.LSH_MULTIPROBE_RECALL_FLOOR:
+            print(
+                f"FAIL lsh recall {ann_recall['lsh']} below declared floor "
+                f"{S.LSH_MULTIPROBE_RECALL_FLOOR}", file=sys.stderr,
+            )
+            raise SystemExit(3)
     except Exception as ex:  # telemetry must never sink the bench
         print(f"WARN ann recall telemetry failed: {str(ex)[:200]}",
               file=sys.stderr)

@@ -316,6 +316,69 @@ def test_lsh_topk_subset_of_exact(spark, emb):
     assert len(approx) == 5
 
 
+def test_lsh_multiprobe_full_budget_equals_exact(spark, emb):
+    """budget_frac=1.0 probes every bucket → the multi-probe result IS the
+    exact top-k (same rounding, same tie-break): the probe planner only
+    ever restricts the candidate set, never rescores."""
+    rows = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    q = [float(x) for x in rows[3]]
+    got = [tuple(r) for r in
+           S.lsh_topk_multiprobe(emb, q, k=7, budget_frac=1.0).collect()]
+    want = [tuple(r) for r in S.cosine_topk(emb, q, k=7).collect()]
+    assert got == want
+
+
+def test_lsh_multiprobe_recall_floor_at_defaults(spark):
+    """The DECLARED recall floor (similarity.py) at default settings on
+    the gate embeddings table — the loud-failure guard the r4 verdict
+    asked for: retuning n_planes/budget below this floor fails here."""
+    import os
+
+    path = "/root/testdata/sf0.01/embeddings.parquet"
+    if not os.path.exists(path):
+        pytest.skip("gate testdata not present")
+    emb = spark.read.parquet(path)
+    q = [float(x) for x in
+         emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    exact = {r["vec_id"] for r in S.cosine_topk(emb, q, k=10).collect()}
+    got = {r["vec_id"]
+           for r in S.lsh_topk_multiprobe(emb, q, k=10).collect()}
+    recall = len(got & exact) / len(exact)
+    assert recall >= S.LSH_MULTIPROBE_RECALL_FLOOR, (
+        f"lsh multiprobe recall {recall} below declared floor "
+        f"{S.LSH_MULTIPROBE_RECALL_FLOOR}"
+    )
+
+
+def test_lsh_multiprobe_respects_budget(spark, emb):
+    """The probed population stays within one bucket of the requested
+    budget: probing stops at the FIRST bucket that crosses it."""
+    rows = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    q = [float(x) for x in rows[0]]
+    qsig, margins = S.multiprobe_query_plan(q, n_planes=8)
+    sigs = S.lsh_signature_int(emb, 16, 8).collect()
+    by_sig = {}
+    for r in sigs:
+        by_sig[r["sig"]] = by_sig.get(r["sig"], 0) + 1
+
+    def flip_cost(sig):
+        return sum(m for p, m in enumerate(margins) if (sig ^ qsig) >> p & 1)
+
+    budget = 12  # < 60 vectors → a strict subset must be probed
+    order = sorted(by_sig, key=lambda s: (flip_cost(s), s))
+    probed, cum = [], 0
+    for s in order:
+        if cum >= budget:
+            break
+        probed.append(s)
+        cum += by_sig[s]
+    allowed = {r["vec_id"] for r in sigs if r["sig"] in set(probed)}
+    got = {r["vec_id"] for r in S.lsh_topk_multiprobe(
+        emb, q, k=60, min_candidates=budget, budget_frac=0.0).collect()}
+    assert got == {v for v in allowed}  # exactly the planned buckets
+    assert len(got) < 60
+
+
 def test_ivf_probes_only_cells(spark, emb):
     rows = {r["vec_id"]: r["embedding"] for r in emb.collect()}
     pivots = [(i, [float(x) for x in rows[i]]) for i in range(4)]
