@@ -67,18 +67,13 @@ def exact_dedup(df: DataFrame, docid: str = "doc_id", text: str = "text") -> Dat
     return df.join(keep, docid, "left_semi")
 
 
-# Paragraph index bound for the packed (docid, idx) keep-key: paragraphs
-# per document must stay below 2^20 (~1M). A doc with more paragraphs than
-# that is not a document.
-PARA_IDX_BITS = 20
-
-
 def paragraph_dedup(
     df: DataFrame,
     docid: str = "doc_id",
     text: str = "text",
     sep: str = r"\n{2,}",
     join_sep: str = "\n\n",
+    key: str = "text",
 ) -> DataFrame:
     """(docid, clean_text, n_paras, n_kept) — corpus-wide EXACT
     paragraph-level dedup (the standard training-data pass one level below
@@ -86,32 +81,46 @@ def paragraph_dedup(
     pages that are not document-level duplicates).
 
     Every paragraph (split on ``sep``) is kept only at its FIRST corpus
-    occurrence — smallest packed ``docid * 2^PARA_IDX_BITS + idx`` key —
-    and each doc's survivors reassemble in original order joined by
-    ``join_sep`` (separator runs are normalized by reassembly). Docs whose
-    every paragraph is a repeat come back with ``clean_text = ''`` and
-    ``n_kept = 0`` — the caller decides whether empty docs survive.
+    occurrence — lexicographic-min ``struct(docid, idx)``, so there is no
+    packed-key bit budget: any docid, any paragraph count, no silent
+    overflow (review finding) — and each doc's survivors reassemble in
+    original order joined by ``join_sep`` (separator runs are normalized
+    by reassembly). Docs whose every paragraph is a repeat come back with
+    ``clean_text = ''`` and ``n_kept = 0`` — the caller decides whether
+    empty docs survive.
+
+    ``key`` picks the SHUFFLE key for the first-occurrence aggregation
+    and self-join:
+
+    * ``"text"`` (default) — the paragraph text itself: exact, but the
+      exchange carries every paragraph's bytes twice.
+    * ``"hash"`` — ``xxhash64(para)``: the exchange carries an 8-byte
+      key instead of the text (the dominant cost of this pass at 100 TB);
+      identical output up to a ~2^-64 hash-collision merge
+      (pytest-verified equal to the exact path on the gate corpus).
 
     Shape at 100 TB: one paragraph-keyed hash aggregation (partial
     map-side combine; a boilerplate paragraph repeated 10^9 times is ONE
     group, never one task's sort), one co-partitioned self-join on the
-    paragraph key, one docid-keyed reassembly aggregation. Exact — the
-    group key is the paragraph text itself; swap the key for
-    ``xxhash64(para)`` when shuffle bytes dominate and a ~2^-64 collision
-    merge is acceptable."""
+    paragraph key, one docid-keyed reassembly aggregation."""
+    if key not in ("text", "hash"):
+        raise ValueError(f"paragraph_dedup: key must be 'text' or 'hash', got {key!r}")
     d, t = F.col(docid), F.col(text)
     paras = df.select(
         d.alias("docid"),
         F.posexplode(F.split(t, sep)).alias("idx", "para"),
     ).filter(F.length(F.trim(F.col("para"))) > 0)
-    key = (
-        F.col("docid") * F.lit(1 << PARA_IDX_BITS) + F.col("idx")
-    ).alias("k")
-    first = paras.groupBy("para").agg(F.min(key).alias("keep_k"))
+    pkey = F.xxhash64("para") if key == "hash" else F.col("para")
+    paras = paras.withColumn("pkey", pkey)
+    first = paras.groupBy("pkey").agg(
+        F.min(F.struct("docid", "idx")).alias("keep")
+    )
     kept = (
-        paras.withColumn("k", key)
-        .join(first, "para")  # co-partitioned: both sides para-keyed
-        .filter(F.col("k") == F.col("keep_k"))
+        paras.join(first, "pkey")  # co-partitioned: both sides pkey-keyed
+        .filter(
+            (F.col("docid") == F.col("keep.docid"))
+            & (F.col("idx") == F.col("keep.idx"))
+        )
         .select("docid", "idx", "para")
     )
     rebuilt = kept.groupBy("docid").agg(
@@ -155,14 +164,12 @@ paras AS (
   FROM split, unnest(generate_series(1, len(ps))) AS g(i)
   WHERE len(trim(list_extract(ps, g.i))) > 0
 ),
-first AS (
-  SELECT para, min(docid * {1 << PARA_IDX_BITS} + idx) AS keep_k
-  FROM paras GROUP BY para
-),
 kept AS (
-  SELECT p.docid, p.idx, p.para
-  FROM paras p JOIN first f
-    ON p.para = f.para AND p.docid * {1 << PARA_IDX_BITS} + p.idx = f.keep_k
+  SELECT docid, idx, para FROM (
+    SELECT docid, idx, para,
+           row_number() OVER (PARTITION BY para ORDER BY docid, idx) AS rn
+    FROM paras)
+  WHERE rn = 1
 ),
 rebuilt AS (
   SELECT docid,

@@ -1062,3 +1062,24 @@ def test_paragraph_dedup_first_occurrence_wins(spark):
         (r["docid"], r["clean_text"], r["n_paras"], r["n_kept"])
         for r in D.paragraph_dedup(docs).collect()
     )
+
+
+def test_paragraph_dedup_hash_key_parity(spark):
+    """key='hash' shuffles xxhash64(para) instead of the paragraph text —
+    the 100-TB shuffle-bytes fix — and must produce the exact path's
+    output bit-for-bit (collision probability ~2^-64)."""
+    rows = [
+        (i, "\n\n".join(f"para {j % 5} body" for j in range(i % 4 + 1)))
+        for i in range(40)
+    ] + [(100, "unique closing paragraph")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = sorted(tuple(r) for r in D.paragraph_dedup(docs).collect())
+    hashed = sorted(
+        tuple(r) for r in D.paragraph_dedup(docs, key="hash").collect()
+    )
+    assert hashed == exact
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="key must be"):
+        D.paragraph_dedup(docs, key="md5")
