@@ -236,14 +236,23 @@ def q_rank_fusion(spark, sf_dir):
 
 
 def q_boost_fusion(spark, sf_dir):
-    """Q5 + Q8 in one driver slot, tagged by ``method`` ('boost' rows =
-    url/stem-boosted BM25 top-20, 'fusion' rows = harmonic PageRank×BM25
-    top-20). Each half is also a standalone extras entry."""
+    """Q5 + Q8 + title-field BM25F in one driver slot, tagged by
+    ``method`` ('boost' rows = url/stem-boosted BM25 top-20, 'fusion'
+    rows = harmonic PageRank×BM25 top-20, 'title' rows = BM25F with the
+    real <title>-extraction field, r5 rotation of the r4 extras-only
+    family into the driver gate). Each leg is also a standalone extras
+    entry."""
     boosted = q_boosted_topk(spark, sf_dir).withColumn(
         "method", F.lit("boost")
     )
     fused = q_rank_fusion(spark, sf_dir).withColumn("method", F.lit("fusion"))
-    return boosted.unionByName(fused).select("method", "docid", "score")
+    titled = q_bm25f_title(spark, sf_dir).withColumn(
+        "method", F.lit("title")
+    )
+    return (
+        boosted.unionByName(fused).unionByName(titled)
+        .select("method", "docid", "score")
+    )
 
 
 def q_bm25_index_all(spark, sf_dir):
@@ -361,6 +370,22 @@ def q_topk_urls_html(spark, sf_dir):
     )
 
 
+def q_topk_urls_suite(spark, sf_dir):
+    """Full answer-shape assembly over BOTH index builds in one driver
+    slot (r5 rotation of the r4 extras-only html-built family into the
+    driver gate), tagged by ``method``: 'text' rows come from the index
+    built over the pre-extracted text column, 'html' rows from the index
+    built from RAW html (extraction inside the build). Each half stays a
+    standalone extras entry."""
+    text = q_topk_urls(spark, sf_dir).withColumn("method", F.lit("text"))
+    html = q_topk_urls_html(spark, sf_dir).withColumn(
+        "method", F.lit("html")
+    )
+    return text.unionByName(html).select(
+        "method", "docid", "url", "score", "snippet", "title"
+    )
+
+
 def q_stemmed_topk(spark, sf_dir):
     """T4 Porter dual-indexing on the GATE path: build a stemmed index and
     query it. Every term in the synthetic vocabulary has a singleton stem
@@ -405,6 +430,30 @@ def q_spell_suggest(spark, sf_dir):
     any levenshtein evaluates; ranking windows only the survivors."""
     terms = T.document_frequencies(_docs(spark, sf_dir)).select("term", "df")
     return TS.spell_suggest(terms, SPELL_QUERY, k=5, max_dist=2)
+
+
+def q_query_assist(spark, sf_dir):
+    """Q10 autocomplete + did-you-mean spell suggestion in one driver
+    slot (r5 rotation of the r4 extras-only spell family into the driver
+    gate), tagged by ``method``: 'auto' rows are the top-10 prefix
+    completions (dist = -1, qterm = the prefix), 'spell' rows the ranked
+    edit-distance suggestions. Each half stays a standalone extras
+    entry."""
+    auto = q_autocomplete(spark, sf_dir).select(
+        F.lit("auto").alias("method"),
+        F.lit("s").alias("qterm"),
+        F.col("term").alias("suggestion"),
+        F.lit(-1).cast("long").alias("dist"),
+        F.col("df").cast("long").alias("df"),
+    )
+    spell = q_spell_suggest(spark, sf_dir).select(
+        F.lit("spell").alias("method"),
+        "qterm",
+        "suggestion",
+        F.col("dist").cast("long").alias("dist"),
+        F.col("df").cast("long").alias("df"),
+    )
+    return auto.unionByName(spell)
 
 
 def q_phrase(spark, sf_dir):
@@ -708,6 +757,30 @@ def q_paragraph_dedup(spark, sf_dir):
     its first (docid, idx) occurrence; docs reassemble from survivors.
     One para-keyed hash agg + co-partitioned join + docid reassembly."""
     return D.paragraph_dedup(_para_docs(spark, sf_dir))
+
+
+def q_dedup_exact_suite(spark, sf_dir):
+    """Document-level exact dedup + corpus-wide paragraph dedup in one
+    driver slot (r5 rotation of the r4 extras-only paragraph family into
+    the driver gate), tagged by ``method`` and normalized to a common
+    (key, payload, n1, n2) shape: 'doc' rows are (content_hash, '',
+    n_dupes, keep_docid), 'para' rows are (docid, clean_text, n_paras,
+    n_kept). Each half stays a standalone extras entry."""
+    doc = q_dedup_exact(spark, sf_dir).select(
+        F.lit("doc").alias("method"),
+        F.col("content_hash").alias("key"),
+        F.lit("").alias("payload"),
+        F.col("n_dupes").cast("long").alias("n1"),
+        F.col("keep_docid").cast("long").alias("n2"),
+    )
+    para = q_paragraph_dedup(spark, sf_dir).select(
+        F.lit("para").alias("method"),
+        F.col("docid").cast("string").alias("key"),
+        F.col("clean_text").alias("payload"),
+        F.col("n_paras").alias("n1"),
+        F.col("n_kept").alias("n2"),
+    )
+    return doc.unionByName(para)
 
 
 def q_jaccard_both(spark, sf_dir):
@@ -1481,14 +1554,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_frequencies": q_term_frequencies,
         "document_frequencies": q_document_frequencies,  # + idf (merged)
         "bm25_multi": q_bm25_multi,  # + bm25_rare (merged, tagged by q)
-        "boost_fusion_topk": q_boost_fusion,  # Q5 boosts + Q8 rank fusion
+        "boost_fusion_topk": q_boost_fusion,  # Q5 + Q8 + title BM25F (r5)
         "bm25_index_all": q_bm25_index_all,
         "bm25_batch": q_bm25_batch,
         "segments_topk": q_segments_topk,
-        "topk_urls": q_topk_urls,  # + title (reference answer shape)
+        "topk_urls_suite": q_topk_urls_suite,  # text + html builds (r5)
         "stemmed_topk": q_stemmed_topk,
         "top_terms": q_top_terms,
-        "autocomplete": q_autocomplete,
+        "query_assist": q_query_assist,  # autocomplete + spell (r5)
         "phrase_index": q_phrase_index,
         "corpus_stats": q_corpus_stats,  # + distinct_terms (merged)
         "pagerank": q_pagerank,
@@ -1512,7 +1585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         # dedup / similarity / text analysis
-        "dedup_exact": q_dedup_exact,
+        "dedup_exact_suite": q_dedup_exact_suite,  # doc + paragraph (r5)
         "jaccard_pairs": q_jaccard_both,  # low + prefix (merged r4)
         "frontier_suite": q_frontier_suite,  # crawler family driver row (r4)
         "minhash_sigs": q_minhash_sigs,
@@ -1540,6 +1613,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     via tools/check_gate.py --extra and tests/test_extra_gate.py."""
     return {
         "doc_lengths": q_doc_lengths,
+        "autocomplete": q_autocomplete,
+        "dedup_exact": q_dedup_exact,
+        "topk_urls": q_topk_urls,
         "idf": q_idf,
         "bm25_single": q_bm25_single,
         "bm25_rare": q_bm25_rare,
@@ -1936,6 +2012,8 @@ FROM ({T.bm25_topk_sql_oracle("customer stream vector", k=15)})
 SELECT 'boost' AS method, docid, score FROM ({sqls["boosted_topk"]})
 UNION ALL
 SELECT 'fusion' AS method, docid, score FROM ({sqls["rank_fusion"]})
+UNION ALL
+SELECT 'title' AS method, docid, score FROM (__BM25F_TITLE__)
 """
     sqls["bm25_index_all"] = T.bm25_topk_sql_oracle("spark table join", k=10_000)
     sqls["bm25_index_topk20"] = T.bm25_topk_sql_oracle("spark table join", k=20)
@@ -1997,6 +2075,12 @@ SELECT s.docid,
 FROM scored s JOIN documents d ON d.doc_id = s.docid
 """
 
+    sqls["topk_urls_suite"] = f"""
+SELECT 'text' AS method, * FROM ({sqls["topk_urls"]})
+UNION ALL
+SELECT 'html' AS method, * FROM ({sqls["topk_urls_html"]})
+"""
+
     sqls["sample_bernoulli"] = f"""
 SELECT doc_id, lang, n_chars FROM documents
 WHERE {SMP.bernoulli_sample_sql(0.25, 7, "doc_id")}
@@ -2020,6 +2104,15 @@ tf AS (SELECT docid, term, count(*) AS tf FROM flat GROUP BY docid, term),
 d AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
 SELECT term, df FROM d WHERE term LIKE 's%'
 ORDER BY df DESC, term ASC LIMIT 10
+"""
+
+    sqls["query_assist"] = f"""
+SELECT 'auto' AS method, 's' AS qterm, term AS suggestion,
+       (-1)::BIGINT AS dist, df::BIGINT AS df
+FROM ({sqls["autocomplete"]})
+UNION ALL
+SELECT 'spell' AS method, qterm, suggestion, dist, df
+FROM ({sqls["spell_suggest"]})
 """
 
     sqls["phrase"] = f"""
@@ -2218,6 +2311,16 @@ WHERE e.event_type = 'error'
     sqls["dedup_exact"] = """
 SELECT md5(text) AS content_hash, count(*) AS n_dupes, min(doc_id) AS keep_docid
 FROM documents GROUP BY md5(text)
+"""
+
+    sqls["dedup_exact_suite"] = f"""
+SELECT 'doc' AS method, content_hash AS key, '' AS payload,
+       n_dupes::BIGINT AS n1, keep_docid::BIGINT AS n2
+FROM ({sqls["dedup_exact"]})
+UNION ALL
+SELECT 'para' AS method, CAST(docid AS VARCHAR) AS key, clean_text AS payload,
+       n_paras AS n1, n_kept AS n2
+FROM ({sqls["paragraph_dedup"]})
 """
 
     sqls["jaccard_pairs"] = f"""
@@ -2536,6 +2639,11 @@ ftitles AS (
         f"WITH {_bm25f_title_cte},"
         + T.bm25f_sql_tail(BM25F_QUERY, k=20, w_anchor=TITLE_W,
                            anchors_rel="ftitles")
+    )
+    # the title leg of boost_fusion_topk is declared above (before this
+    # SQL exists) with a placeholder — splice it in now
+    sqls["boost_fusion_topk"] = sqls["boost_fusion_topk"].replace(
+        "__BM25F_TITLE__", sqls["bm25f_title"]
     )
 
     sqls["bm25f"] = (
