@@ -432,6 +432,18 @@ def q_spell_suggest(spark, sf_dir):
     return TS.spell_suggest(terms, SPELL_QUERY, k=5, max_dist=2)
 
 
+def q_spell_symspell(spark, sf_dir):
+    """SymSpell serving path for the same did-you-mean contract: build
+    the delete-variants index from the vocabulary (the precompute-once
+    table; fan-out <= 1 + L + L(L-1)/2 per term), then answer
+    SPELL_QUERY via a variant-IN pushed probe + exact levenshtein
+    verify. Oracle: the SAME SQL as spell_suggest — the gate proves the
+    deletes-join is output-identical to the brute scan at sf scale."""
+    terms = T.document_frequencies(_docs(spark, sf_dir)).select("term", "df")
+    deletes = TS.spell_deletes_index(terms, max_dist=2)
+    return TS.spell_suggest_symspell(deletes, SPELL_QUERY, k=5, max_dist=2)
+
+
 def q_query_assist(spark, sf_dir):
     """Q10 autocomplete + did-you-mean spell suggestion in one driver
     slot (r5 rotation of the r4 extras-only spell family into the driver
@@ -1641,6 +1653,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": q_url_dedup,
         "jaccard_prefix": q_jaccard_prefix,
         "spell_suggest": q_spell_suggest,
+        "spell_symspell": q_spell_symspell,  # deletes-index path (r5)
         "paragraph_dedup": q_paragraph_dedup,
         "bm25f_title": q_bm25f_title,
         "frontier": q_frontier,
@@ -1981,6 +1994,9 @@ WHERE len(toks) > 0
     sqls["spell_suggest"] = TS.spell_suggest_sql(
         SPELL_QUERY, k=5, max_dist=2, terms_sql=_vocab_sql
     )
+    # SymSpell serving path must be output-identical to the brute scan:
+    # same oracle, different physical plan
+    sqls["spell_symspell"] = sqls["spell_suggest"]
 
     sqls["idf"] = f"""
 WITH {TOKS_CTE}, {FLAT_CTE},

@@ -155,6 +155,80 @@ def main() -> None:
         print(f"WARN ann recall telemetry failed: {str(ex)[:200]}",
               file=sys.stderr)
 
+    # Spell-serve telemetry (untimed region of the headline total): brute
+    # length-window vocab scan vs SymSpell deletes-join. The sf corpus's
+    # synthetic vocabulary is tiny (~31 terms), so this leg uses a
+    # deterministic 1M-term vocabulary (BENCH_SPELL_VOCAB) where the
+    # length window genuinely covers most of the vocab — the web-scale
+    # shape the deletes index exists for. Vocab AND index are
+    # pre-materialized to parquet (the precompute-once contract — serving
+    # cost is what scales per query); both paths serve the same query and
+    # must agree on rows.
+    spell_serve: dict[str, float] = {}
+    try:
+        from pyspark.sql import functions as F  # noqa: F811
+        from search_engine_spark.operators import textstats as TS
+
+        n_vocab = int(os.environ.get("BENCH_SPELL_VOCAB", "1000000"))
+        sp_tmp = tempfile.mkdtemp(prefix="se_bench_spell_")
+        vocab_path = os.path.join(sp_tmp, "vocab")
+        idx_path = os.path.join(sp_tmp, "deletes")
+        (
+            spark.range(n_vocab)
+            .select(
+                F.substring(
+                    F.md5(F.col("id").cast("string")),
+                    1,
+                    (3 + F.pmod(F.col("id"), F.lit(8))).cast("int"),
+                ).alias("term"),
+                F.pmod(F.col("id"), F.lit(997)).alias("df"),
+            )
+            .groupBy("term").agg(F.max("df").alias("df"))
+            .write.parquet(vocab_path)
+        )
+        vocab = spark.read.parquet(vocab_path)
+        spell_serve["vocab_terms"] = vocab.count()
+        n_buckets = 512
+        t0 = time.perf_counter()
+        (
+            TS.spell_deletes_index(vocab, max_dist=2, buckets=n_buckets)
+            .repartition(n_buckets, "bucket")  # ONE file per bucket dir
+            .write.partitionBy("bucket").parquet(idx_path)
+        )
+        spell_serve["index_build_s"] = round(time.perf_counter() - t0, 3)
+        deletes = spark.read.parquet(idx_path)
+        # batch serving shape (the realistic one — query VOLUME is what
+        # scales): 64 misspellings of real vocab terms in one call. The
+        # brute path's length-window join grows as qterms x vocab
+        # levenshteins; the deletes-join candidate set stays O(variants).
+        terms = [r["term"] for r in vocab.orderBy("term").limit(64).collect()]
+        sq = " ".join(
+            (t[:-1] + "zq") if len(t) > 3 else t + "z" for t in terms
+        )
+        for _warm in range(1):  # steady-state: time the second serve
+            TS.spell_suggest(vocab, sq, k=5, max_dist=2).count()
+            TS.spell_suggest_symspell(
+                deletes, sq, k=5, max_dist=2, buckets=n_buckets
+            ).count()
+        t0 = time.perf_counter()
+        n_brute = TS.spell_suggest(vocab, sq, k=5, max_dist=2).count()
+        spell_serve["brute_s"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        n_sym = TS.spell_suggest_symspell(
+            deletes, sq, k=5, max_dist=2, buckets=n_buckets
+        ).count()
+        spell_serve["symspell_s"] = round(time.perf_counter() - t0, 3)
+        if n_brute != n_sym:
+            print(f"FAIL spell paths disagree: brute {n_brute} rows vs "
+                  f"symspell {n_sym}", file=sys.stderr)
+            raise SystemExit(3)
+        shutil.rmtree(sp_tmp, ignore_errors=True)
+    except SystemExit:
+        raise
+    except Exception as ex:  # telemetry must never sink the bench
+        print(f"WARN spell serve telemetry failed: {str(ex)[:200]}",
+              file=sys.stderr)
+
     # index-build throughput over the deterministic synthetic web corpus
     from search_engine_spark.corpus import gen_pages_df
     from search_engine_spark.operators.indexer import build_index
@@ -185,6 +259,8 @@ def main() -> None:
     }
     if ann_recall:
         out["ann_recall@10"] = ann_recall
+    if spell_serve:
+        out["spell_serve"] = spell_serve
     if warm_failed:
         out["warm_up_failed"] = warm_failed
     print(json.dumps(out))

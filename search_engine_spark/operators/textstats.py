@@ -240,9 +240,9 @@ def spell_suggest(
     edit distance itself is the JVM built-in (whole-stage codegen, no
     Python). Per-qterm ranking is a window over the few hundred
     length-window survivors. At a 10^9-term vocabulary the scale path is
-    a deletes-index (SymSpell): precompute delete-variants of the vocab
-    once, equi-join query variants against it — same output contract,
-    one more table; the brute scan here is the exact verifier."""
+    the deletes-index (SymSpell) pair :func:`spell_deletes_index` +
+    :func:`spell_suggest_symspell` — same output contract (parity-tested),
+    one precomputed table; the brute scan here is the exact verifier."""
     from search_engine_spark.oracle.text import tokenize
 
     qterms = [
@@ -270,25 +270,184 @@ def spell_suggest(
         )
         .filter(F.col("dist") <= max_dist)
     )
-    w = Window.partitionBy("qterm").orderBy(
+    return _rank_spell_candidates(cand, k)
+
+
+def _rank_spell_candidates(cand: DataFrame, k: int) -> DataFrame:
+    """Shared ranking tail of both spell paths (brute length-window scan
+    and SymSpell deletes-join): per-qterm top-k by (dist asc, df desc,
+    term asc), with the exact-hit short-circuit — a qterm that IS in the
+    vocabulary keeps only its dist-0 row. ``cand`` needs columns
+    (qterm, suggestion, dist, df); structural sharing is what makes the
+    two paths rank-identical by construction."""
+    w_ord = Window.partitionBy("qterm").orderBy(
         F.col("dist").asc(), F.col("df").desc(), F.col("suggestion").asc()
     )
-    exact = cand.filter(F.col("dist") == 0).select("qterm").distinct()
-    ranked = (
-        cand.withColumn("_rk", F.row_number().over(w))
+    w_all = Window.partitionBy("qterm")
+    # single pass over the candidates: the exact-hit flag is a window max
+    # over the same partition key as the ranking window (ONE shuffle, no
+    # self-joins — the candidate scan executes exactly once). A dist-0
+    # row is unique per qterm (suggestion == qterm), so the exact case
+    # keeps exactly that row.
+    return (
+        cand.select("qterm", "suggestion", "dist", "df")
+        .withColumn(
+            "_exact", F.max((F.col("dist") == 0).cast("int")).over(w_all)
+        )
+        .filter((F.col("_exact") == 0) | (F.col("dist") == 0))
+        .withColumn("_rk", F.row_number().over(w_ord))
         .filter(F.col("_rk") <= k)
-        .drop("_rk", "qlen")
+        .select(
+            "qterm", "suggestion",
+            F.col("dist").cast("long").alias("dist"),
+            F.col("df").cast("long").alias("df"),
+        )
     )
-    # a qterm with an exact vocab hit keeps only its dist-0 row
-    return ranked.join(exact, "qterm", "left_semi").filter(
-        F.col("dist") == 0
-    ).unionByName(
-        ranked.join(exact, "qterm", "left_anti")
-    ).select(
-        "qterm", "suggestion",
-        F.col("dist").cast("long").alias("dist"),
-        F.col("df").cast("long").alias("df"),
+
+
+# single-deletion variants of a string column, entirely JVM-side: one
+# array of length(c) strings, each dropping position i. The length guard
+# matters: Spark's sequence(1, 0) is the DESCENDING [1, 0], not empty.
+_DEL1_EXPR = (
+    "CASE WHEN length({c}) = 0 THEN array() "
+    "ELSE transform(sequence(1, length({c})), "
+    "i -> concat(substring({c}, 1, i - 1), "
+    "substring({c}, i + 1, length({c})))) END"
+)
+
+
+def spell_deletes_index(
+    terms: DataFrame,
+    max_dist: int = 2,
+    term: str = "term",
+    df_col: str = "df",
+    buckets: int | None = None,
+) -> DataFrame:
+    """(variant, suggestion, df) — the SymSpell deletes index: every
+    vocabulary term keyed by EVERY string reachable from it with at most
+    ``max_dist`` character deletions (including itself at 0 deletions).
+
+    This is the precompute-once side of the 10^9-term spell path: for a
+    term of length L and max_dist 2 the fan-out is 1 + L + L(L-1)/2
+    variants (~60 rows for a 10-char term), so the index is a small
+    constant factor over the vocabulary — negligible next to the corpus.
+    Variant generation is a JVM higher-order ``transform`` (no Python);
+    the per-round ``dropDuplicates`` bounds the frontier (deleting chars
+    from different positions often collides, e.g. repeated letters). At
+    scale, write this out bucketed/sorted by ``variant`` so lookups are
+    one pruned range scan per query variant.
+
+    Completeness contract (standard SymSpell argument): if
+    lev(q, s) <= d then q and s share a common string reachable by at
+    most d deletions from EACH side — so joining the query's own delete
+    variants against an index built with the same (or larger)
+    ``max_dist`` yields a candidate superset, and the final exact
+    levenshtein verify in :func:`spell_suggest_symspell` makes the
+    output exact.
+
+    ``buckets``: when set, adds ``bucket = crc32(variant) % buckets`` —
+    write the index ``partitionBy("bucket")`` and pass the same
+    ``buckets`` to :func:`spell_suggest_symspell` so the probe becomes a
+    PARTITION-PRUNED read of <= n_variants directories instead of a full
+    index scan. crc32 is deliberately the hash (JVM ``F.crc32`` ==
+    Python ``zlib.crc32``), so the serving side computes bucket ids for
+    its literal variants without a Spark job. A plain ``variant IN``
+    predicate does NOT prune here: past the parquet pushdown threshold
+    (~10 values) Spark pushes only the min..max range, which on a
+    web-scale variant space spans everything."""
+    base = terms.select(
+        F.col(term).alias("suggestion"),
+        F.col(df_col).alias("df"),
+        F.col(term).alias("variant"),
     )
+    out = base
+    frontier = base
+    for _ in range(max_dist):
+        frontier = frontier.select(
+            "suggestion",
+            "df",
+            F.explode(F.expr(_DEL1_EXPR.format(c="variant"))).alias(
+                "variant"
+            ),
+        ).dropDuplicates(["suggestion", "variant"])
+        out = out.unionByName(frontier)
+    out = out.dropDuplicates(["suggestion", "variant"])
+    if buckets is not None:
+        out = out.withColumn(
+            "bucket",
+            F.pmod(F.crc32(F.col("variant").cast("binary")), F.lit(buckets)),
+        )
+    return out
+
+
+def _delete_variants(word: str, max_dist: int) -> set[str]:
+    """Driver-side (query-sized) mirror of the index's variant fan-out."""
+    seen = {word}
+    frontier = {word}
+    for _ in range(max_dist):
+        nxt = {w[:i] + w[i + 1:] for w in frontier for i in range(len(w))}
+        frontier = nxt - seen
+        seen |= nxt
+    return seen
+
+
+def spell_suggest_symspell(
+    deletes: DataFrame,
+    query: str,
+    k: int = 5,
+    max_dist: int = 2,
+    buckets: int | None = None,
+) -> DataFrame:
+    """(qterm, suggestion, dist, df) — :func:`spell_suggest` served from a
+    precomputed :func:`spell_deletes_index` instead of a vocabulary scan.
+    ``max_dist`` must be <= the index's build-time max_dist (candidate
+    completeness, see the index docstring); output is rank-identical to
+    the brute path by the shared :func:`_rank_spell_candidates` tail and
+    the exact levenshtein verify (parity-tested).
+
+    Scale shape: the query's own delete variants are driver-side literals
+    (a misspelled token has ~dozens), pushed as a ``variant IN (...)``
+    predicate into the index scan — on a variant-sorted/bucketed index
+    that's a handful of pruned range reads, NOT a vocabulary pass; the
+    (qterm, variant) map is broadcast. This is why the deletes-join wins
+    at web-scale vocabularies where the brute length-window scan touches
+    every term of similar length."""
+    from search_engine_spark.oracle.text import tokenize
+
+    spark = deletes.sparkSession
+    qterms = list(
+        dict.fromkeys(t for t, _ in tokenize(query, stem=False, cap=None))
+    )
+    if not qterms:
+        return spark.createDataFrame(
+            [], "qterm string, suggestion string, dist long, df bigint"
+        )
+    pairs = [
+        (q, v) for q in qterms for v in sorted(_delete_variants(q, max_dist))
+    ]
+    qdf = spark.createDataFrame(pairs, "qterm string, variant string")
+    all_variants = sorted({v for _, v in pairs})
+    if buckets is not None:
+        # partition pruning: bucket ids of the literal variants, computed
+        # driver-side with the same hash the index writer used (zlib.crc32
+        # == F.crc32). This is the read that makes the probe O(variants),
+        # not O(index) — see spell_deletes_index.
+        import zlib
+
+        bucket_ids = sorted(
+            {zlib.crc32(v.encode("utf-8")) % buckets for v in all_variants}
+        )
+        deletes = deletes.filter(F.col("bucket").isin(bucket_ids))
+    cand = (
+        deletes.filter(F.col("variant").isin(all_variants))
+        .join(F.broadcast(qdf), "variant")
+        .dropDuplicates(["qterm", "suggestion"])
+        .withColumn(
+            "dist", F.levenshtein(F.col("qterm"), F.col("suggestion"))
+        )
+        .filter(F.col("dist") <= max_dist)
+    )
+    return _rank_spell_candidates(cand, k)
 
 
 def spell_suggest_sql(

@@ -1027,6 +1027,45 @@ def test_spell_suggest_ranking_and_exact_hits(spark):
     )
 
 
+def test_spell_symspell_parity_with_brute_scan(spark):
+    """SymSpell deletes-index path ≡ brute length-window scan on the same
+    vocabulary and queries — including dist-2 suggestions, the exact-hit
+    short-circuit, k-truncation ties, and a no-candidate qterm. Also
+    checks the index fan-out bound (1 + L + L(L-1)/2 per term)."""
+    rows = [("table", 100), ("cable", 90), ("tale", 80), ("label", 70),
+            ("spark", 60), ("sparse", 10), ("window", 50), ("stark", 55),
+            ("shark", 55), ("widow", 20), ("win", 15), ("windows", 45)]
+    vocab = spark.createDataFrame(rows, "term string, df long")
+    deletes = spark.createDataFrame(
+        TS.spell_deletes_index(vocab, max_dist=2).collect(),
+        "suggestion string, df long, variant string",
+    )  # materialized once, reused — the precompute-once contract
+    # per-term fan-out never exceeds the closed form
+    import collections
+    fan = collections.Counter(
+        r["suggestion"] for r in deletes.collect()
+    )
+    for t, _df in rows:
+        L = len(t)
+        assert fan[t] <= 1 + L + L * (L - 1) // 2
+    for query, k in [
+        ("tabel spark zzzzzzz", 3),   # dist-1/2 mix + exact + no-hit
+        ("window wark", 4),           # deletion-shaped typo + dist-2 fan
+        ("win widow", 2),             # two exact hits (short-circuit)
+    ]:
+        brute = sorted(
+            tuple(r)
+            for r in TS.spell_suggest(vocab, query, k=k, max_dist=2).collect()
+        )
+        sym = sorted(
+            tuple(r)
+            for r in TS.spell_suggest_symspell(
+                deletes, query, k=k, max_dist=2
+            ).collect()
+        )
+        assert sym == brute, f"{query}: {sym} != {brute}"
+
+
 def test_paragraph_dedup_first_occurrence_wins(spark):
     """Corpus-wide paragraph dedup: a repeated paragraph survives only at
     its first (docid, idx) occurrence; docs reassemble in order; docs with
