@@ -114,19 +114,80 @@ def media_from_docs(docs: DataFrame) -> DataFrame:
     return src.mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
+def encode_bmp_gray(pixels: np.ndarray) -> bytes:
+    """Encode an HxW uint8 array as a REAL 24-bpp uncompressed Windows BMP
+    (BI_RGB, bottom-up, R=G=B). This is a spec-complete file any image
+    viewer or PIL opens — it exists so the 'real image format' branch of
+    :func:`_decode_payload` has an executed, byte-verifiable path even in
+    environments without Pillow."""
+    pixels = np.ascontiguousarray(pixels).astype(np.uint8, copy=False)
+    h, w = pixels.shape
+    stride = (w * 3 + 3) & ~3
+    img = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up row order
+        row = np.repeat(pixels[y], 3).tobytes()  # gray -> BGR triples
+        img += row + b"\x00" * (stride - len(row))
+    header = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + len(img), 0, 0, 14 + 40
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(img), 2835, 2835, 0, 0
+    )
+    return bytes(header) + bytes(img)
+
+
+def _decode_bmp(payload: bytes) -> np.ndarray:
+    """Pure-Python/numpy decoder for 24-bpp uncompressed (BI_RGB) BMP →
+    HxW uint8 grayscale. Handles bottom-up (positive height) and top-down
+    (negative height) row order and 4-byte row padding. Grayscale uses the
+    same ITU-R 601-2 integer luma as Pillow's ``convert("L")``
+    ((19595 R + 38470 G + 7471 B + 0x8000) >> 16), so for any BMP this
+    decode matches what the PIL branch would produce — exactly equal on
+    R=G=B content, where every luma variant agrees."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size, w, h = struct.unpack_from("<Iii", payload, 14)
+    planes, bpp, compression = struct.unpack_from("<HHI", payload, 26)
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only 24-bpp uncompressed BMP is decoded natively "
+            f"(got bpp={bpp}, compression={compression}); other BMP "
+            f"flavors route through PIL"
+        )
+    top_down = h < 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    raw = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * h, offset=data_off
+    ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if not top_down:
+        raw = raw[::-1]
+    b, g, r = (raw[..., i].astype(np.uint32) for i in range(3))
+    return ((19595 * r + 38470 * g + 7471 * b + 0x8000) >> 16).astype(
+        np.uint8
+    )
+
+
 def _decode_payload(payload: bytes) -> np.ndarray:
     """Decode one payload → HxW uint8 (grayscale) array.
 
-    FIMG (the deterministic test format) decodes natively; any other
-    payload routes through PIL when it is importable — the optional-codec
-    seam — and raises ``NotImplementedError`` when it is not (this
-    container ships no image libraries). The import is per-call-site lazy
-    so executors without PIL still run every FIMG plan."""
+    FIMG (the deterministic test format) decodes natively, as does
+    24-bpp uncompressed BMP (:func:`_decode_bmp` — the executed
+    real-format path); any other payload routes through PIL when it is
+    importable — the optional-codec seam — and raises
+    ``NotImplementedError`` when it is not (this container ships no image
+    libraries). The import is per-call-site lazy so executors without PIL
+    still run every FIMG/BMP plan."""
     if payload[:4] == FAKE_MAGIC:
         w, h = struct.unpack("<II", payload[4:12])
         return np.frombuffer(
             payload[12 : 12 + w * h], dtype=np.uint8
         ).reshape(h, w)
+    if payload[:2] == b"BM":
+        try:
+            return _decode_bmp(payload)
+        except NotImplementedError:
+            pass  # exotic BMP flavor: fall through to the PIL seam
     try:
         from PIL import Image
     except ImportError as exc:
