@@ -1288,6 +1288,33 @@ def q_frontier_suite(spark, sf_dir):
     return base.unionByName(fmw).select("method", "host", "url")
 
 
+def q_frontier_schedule(spark, sf_dir):
+    """Politeness wave planner (the scheduler artifact of the README
+    POLITENESS CONTRACT — reference Crawler.java:460-473 hosts.timeStamp
+    elapsed-time rate limit, as a batch schedule): the capped frontier
+    wave → (host, url, slot, not_before_s) with per-host robots
+    Crawl-delay values for hosts 0-3 (0.5/1.0/1.5 s by host id % 3) and
+    the 1.0 s default for the rest — the fetch tier enforces the
+    not_before offsets."""
+    from search_engine_spark.operators import frontier as FR
+
+    wave = q_frontier(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    delays = (
+        docs.filter((F.col("doc_id") % 2 == 0) & (F.col("doc_id") % 7 < 4))
+        .select(
+            F.concat(
+                F.lit("site"),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit(".example"),
+            ).alias("host"),
+            (0.5 * (1 + (F.col("doc_id") % 7) % 3)).alias("delay_s"),
+        )
+        .distinct()
+    )
+    return FR.politeness_schedule(wave, default_delay_s=1.0, delays=delays)
+
+
 CURATION_Q_MIN = 0.528       # ~median en quality at sf0.01 — real cut
 CURATION_REP_MAX = 0.09      # ~p90 dup_bigram_frac — drops the worst tail
 
@@ -1659,6 +1686,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier": q_frontier,
         "frontier_robots": q_frontier_robots,
         "frontier_robots_fmw": q_frontier_robots_fmw,
+        "frontier_schedule": q_frontier_schedule,  # wave planner (r5)
         "topk_urls_html": q_topk_urls_html,
         "bfs_hops": q_bfs_hops,
         "redirects": q_redirects,
@@ -2575,6 +2603,17 @@ WITH {_MESSY_URL_SQL}
         seen_sql=_FRONTIER_SEEN_SQL,
         per_host_cap=FRONTIER_HOST_CAP,
         blacklist=FRONTIER_BLACKLIST,
+    )
+
+    sqls["frontier_schedule"] = FR.politeness_schedule_sql(
+        sqls["frontier"],
+        default_delay_s=1.0,
+        delays_sql=(
+            "SELECT DISTINCT concat('site', (doc_id % 7)::VARCHAR,"
+            " '.example') AS host,"
+            " 0.5 * (1 + (doc_id % 7) % 3) AS delay_s"
+            " FROM documents WHERE doc_id % 2 = 0 AND doc_id % 7 < 4"
+        ),
     )
 
     sqls["frontier_robots"] = FR.frontier_sql(

@@ -220,6 +220,48 @@ def frontier_step(
     return cand
 
 
+def politeness_schedule(
+    frontier: DataFrame,
+    default_delay_s: float = 1.0,
+    delays: DataFrame | None = None,
+    host: str = "host",
+    url: str = "url",
+) -> DataFrame:
+    """(host, url, slot, not_before_s) — the wave planner: turn a capped
+    frontier wave into a concrete per-host fetch schedule. ``slot`` is the
+    url's 0-based position within its host (lowest-url-first, the same
+    deterministic order the cap used); ``not_before_s`` = slot x the
+    host's crawl delay — fetch slot i of a host no earlier than i·delay
+    seconds after wave start. This is the batch artifact of the
+    reference's elapsed-time rate limit (Crawler.java:460-473
+    ``hosts.timeStamp`` — there an in-memory last-fetch timestamp per
+    host; here the schedule the fetch tier enforces, see the POLITENESS
+    CONTRACT in README).
+
+    ``delays`` is an optional (host, delay_s) table (robots Crawl-delay
+    values); hosts absent from it fall back to ``default_delay_s``. It is
+    robots-sized, so it broadcasts. The slot window partitions by host on
+    a frontier that the per-host cap has already bounded to <= cap rows
+    per host — no skew by construction; scheduling an UNCAPPED frontier
+    should cap first (that is the planner's politeness input contract)."""
+    w = Window.partitionBy(host).orderBy(F.col(url).asc())
+    out = frontier.select(host, url).withColumn(
+        "slot", (F.row_number().over(w) - 1).cast("long")
+    )
+    if delays is not None:
+        d = delays.select(
+            F.col(delays.columns[0]).alias(host),
+            F.col(delays.columns[1]).cast("double").alias("_delay_s"),
+        )
+        out = out.join(F.broadcast(d), host, "left")
+        delay = F.coalesce(F.col("_delay_s"), F.lit(float(default_delay_s)))
+    else:
+        delay = F.lit(float(default_delay_s))
+    return out.withColumn(
+        "not_before_s", F.round(F.col("slot") * delay, 6)
+    ).select(host, url, "slot", "not_before_s")
+
+
 def apply_robots(
     cand: DataFrame,
     robots: DataFrame,
@@ -767,3 +809,30 @@ allowed AS (
     )
     cap = f"WHERE _rn <= {per_host_cap}" if per_host_cap is not None else ""
     return f"WITH {base}\nSELECT host, url FROM ({ranked}) {cap}"
+
+
+def politeness_schedule_sql(
+    frontier_select: str,
+    default_delay_s: float = 1.0,
+    delays_sql: str | None = None,
+) -> str:
+    """DuckDB mirror of :func:`politeness_schedule` over a frontier
+    relation given by ``frontier_select`` (any SELECT/WITH query yielding
+    (host, url)); ``delays_sql`` optionally yields (host, delay_s)."""
+    if delays_sql is not None:
+        join = f"LEFT JOIN (SELECT host, delay_s FROM ({delays_sql})) d USING (host)"
+        delay = f"COALESCE(d.delay_s, {float(default_delay_s)})"
+    else:
+        join = ""
+        delay = str(float(default_delay_s))
+    return f"""
+WITH fr AS ({frontier_select}),
+slotted AS (
+  SELECT host, url,
+         row_number() OVER (PARTITION BY host ORDER BY url ASC) - 1 AS slot
+  FROM fr
+)
+SELECT slotted.host, slotted.url, slot::BIGINT AS slot,
+       round(slot * ({delay})::DOUBLE, 6)::DOUBLE AS not_before_s
+FROM slotted {join}
+"""

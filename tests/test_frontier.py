@@ -357,3 +357,47 @@ def test_frontier_sql_rejects_both_robots_variants():
                 " 1 AS rule_order"
             ),
         )
+
+
+def test_politeness_schedule_slots_and_delays(spark):
+    """Wave planner contract: slots are 0-based, contiguous, lowest-url-
+    first within each host; not_before_s = slot x the host's crawl delay,
+    falling back to default_delay_s for hosts absent from the delays
+    table; the DuckDB mirror matches row-for-row."""
+    wave = spark.createDataFrame(
+        [("a.example", f"http://a.example/p/{i}") for i in range(4)]
+        + [("b.example", "http://b.example/x"),
+           ("b.example", "http://b.example/a")],
+        "host string, url string",
+    )
+    delays = spark.createDataFrame(
+        [("a.example", 2.5)], "host string, delay_s double"
+    )
+    got = {
+        (r["host"], r["url"]): (r["slot"], r["not_before_s"])
+        for r in FR.politeness_schedule(
+            wave, default_delay_s=1.0, delays=delays
+        ).collect()
+    }
+    # a.example: crawl-delay 2.5s, slots follow url sort order
+    for i in range(4):
+        assert got[("a.example", f"http://a.example/p/{i}")] == (i, i * 2.5)
+    # b.example: no delays row -> default 1.0; '/a' sorts before '/x'
+    assert got[("b.example", "http://b.example/a")] == (0, 0.0)
+    assert got[("b.example", "http://b.example/x")] == (1, 1.0)
+
+    import duckdb
+
+    sql = FR.politeness_schedule_sql(
+        "SELECT * FROM (VALUES "
+        + ", ".join(
+            f"('{h}', '{u}')" for (h, u) in sorted(got)
+        )
+        + ") AS w(host, url)",
+        default_delay_s=1.0,
+        delays_sql="SELECT 'a.example' AS host, 2.5 AS delay_s",
+    )
+    mirror = {
+        (h, u): (s, nb) for h, u, s, nb in duckdb.sql(sql).fetchall()
+    }
+    assert mirror == got
