@@ -101,6 +101,36 @@ def blacklist_regex(patterns: list[str]) -> str:
 
     parts = [_re.escape(p).replace(r"\*", ".*") for p in patterns]
     return "^(?:" + "|".join(parts) + ")$"
+
+
+def blacklist_pred(patterns: list[str]) -> Column:
+    """TRUE where the url hits any blacklist pattern — same semantics as
+    :func:`blacklist_regex` (full-url glob match) but compiled to the
+    cheapest JVM predicate each pattern admits: a star-free pattern is an
+    equality, a single trailing ``*`` is ``startswith``, a single leading
+    ``*`` is ``endswith``; only patterns with interior/multiple stars pay
+    for a regex. Measured on the sf0.1 frontier, the regex form costs
+    ~2 s (~60% of the whole wave) because it runs per HARVESTED link —
+    string prefix compare is ~free. The DuckDB mirror keeps the one-regex
+    form (oracle clarity; its perf is not the product)."""
+    preds: list[Column] = []
+    regex_left: list[str] = []
+    for p in patterns:
+        body = p.replace("*", "")
+        if "*" not in p:
+            preds.append(F.col("url") == p)
+        elif p.count("*") == 1 and p.endswith("*"):
+            preds.append(F.col("url").startswith(body))
+        elif p.count("*") == 1 and p.startswith("*"):
+            preds.append(F.col("url").endswith(body))
+        else:
+            regex_left.append(p)
+    if regex_left:
+        preds.append(F.col("url").rlike(blacklist_regex(regex_left)))
+    out = preds[0]
+    for c in preds[1:]:
+        out = out | c
+    return out
 # level-1 politeness-cap fanout (see frontier_step): bounds the per-task
 # input of the per-host window without changing its result
 SALT_BUCKETS = 64
@@ -189,7 +219,7 @@ def frontier_step(
     )
     if blacklist:
         # before the distinct: dropped urls never enter the shuffle
-        cand = cand.filter(~F.col("url").rlike(blacklist_regex(blacklist)))
+        cand = cand.filter(~blacklist_pred(blacklist))
     cand = cand.distinct()
     if seen is not None:
         seen_urls = seen.select(F.col(seen.columns[0]).alias("url"))

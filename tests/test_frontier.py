@@ -401,3 +401,30 @@ def test_politeness_schedule_slots_and_delays(spark):
         (h, u): (s, nb) for h, u, s, nb in duckdb.sql(sql).fetchall()
     }
     assert mirror == got
+
+
+def test_blacklist_pred_equals_regex_semantics(spark):
+    """blacklist_pred compiles each glob to the cheapest JVM predicate
+    (equality / startswith / endswith / residual regex) — it must keep
+    blacklist_regex's exact full-url-match semantics on every pattern
+    shape, including the interior-star fallback."""
+    pats = ["http://site4.example/p/1*", "*.pdf",
+            "http://exact.example/x", "http://a*/mid/*"]
+    urls = spark.createDataFrame(
+        [("http://site4.example/p/199",), ("http://site4.example/p/2",),
+         ("http://x/file.pdf",), ("http://exact.example/x",),
+         ("http://exact.example/xy",), ("http://abc/mid/z",),
+         ("http://abc/other",), ("http://site4.example/q/1",)],
+        "url string",
+    )
+    a = {r["url"] for r in urls.filter(FR.blacklist_pred(pats)).collect()}
+    b = {
+        r["url"]
+        for r in urls.filter(
+            F.col("url").rlike(FR.blacklist_regex(pats))
+        ).collect()
+    }
+    assert a == b == {
+        "http://abc/mid/z", "http://exact.example/x",
+        "http://site4.example/p/199", "http://x/file.pdf",
+    }
