@@ -449,8 +449,11 @@ def q_query_assist(spark, sf_dir):
     slot (r5 rotation of the r4 extras-only spell family into the driver
     gate), tagged by ``method``: 'auto' rows are the top-10 prefix
     completions (dist = -1, qterm = the prefix), 'spell' rows the ranked
-    edit-distance suggestions. Each half stays a standalone extras
-    entry."""
+    edit-distance suggestions from the brute length-window scan, and
+    'symspell' rows the SAME contract served from the SymSpell
+    deletes-index (both spell legs share one oracle SQL — the driver
+    gate itself proves the two physical paths are output-identical).
+    Each leg stays a standalone extras entry."""
     auto = q_autocomplete(spark, sf_dir).select(
         F.lit("auto").alias("method"),
         F.lit("s").alias("qterm"),
@@ -465,7 +468,14 @@ def q_query_assist(spark, sf_dir):
         F.col("dist").cast("long").alias("dist"),
         F.col("df").cast("long").alias("df"),
     )
-    return auto.unionByName(spell)
+    symspell = q_spell_symspell(spark, sf_dir).select(
+        F.lit("symspell").alias("method"),
+        "qterm",
+        "suggestion",
+        F.col("dist").cast("long").alias("dist"),
+        F.col("df").cast("long").alias("df"),
+    )
+    return auto.unionByName(spell).unionByName(symspell)
 
 
 def q_phrase(spark, sf_dir):
@@ -1276,16 +1286,30 @@ def q_frontier_robots_fmw(spark, sf_dir):
 
 def q_frontier_suite(spark, sf_dir):
     """The crawler-relational family's DRIVER row (T11): two full frontier
-    waves in one slot, tagged by ``method`` — 'base' = harvest → resolve →
-    canonicalize → scheme/extension filters → URL-pattern blacklist →
-    seen anti-join → per-host cap; 'fmw' = the same wave with
-    first-match-wins robots rules (Allow /p/1 before Disallow /p) instead
-    of the blacklist. Singles stay as extras rows."""
+    waves + the politeness schedule in one slot, tagged by ``method`` —
+    'base' = harvest → resolve → canonicalize → scheme/extension filters →
+    URL-pattern blacklist → seen anti-join → per-host cap; 'fmw' = the
+    same wave with first-match-wins robots rules (Allow /p/1 before
+    Disallow /p) instead of the blacklist; 'sched' (r5) = the wave
+    planner over the base wave, slot + not_before_s carrying the
+    per-host fetch schedule (wave legs pad those columns with -1).
+    Singles stay as extras rows."""
     base = q_frontier(spark, sf_dir).withColumn("method", F.lit("base"))
     fmw = q_frontier_robots_fmw(spark, sf_dir).withColumn(
         "method", F.lit("fmw")
     )
-    return base.unionByName(fmw).select("method", "host", "url")
+    waves = base.unionByName(fmw).select("method", "host", "url").select(
+        "method", "host", "url",
+        F.lit(-1).cast("long").alias("slot"),
+        F.lit(-1.0).alias("not_before_s"),
+    )
+    # 'sched' leg (r5): the politeness wave planner over the base wave —
+    # slot + not_before_s carry the schedule; wave legs pad with -1
+    sched = q_frontier_schedule(spark, sf_dir).select(
+        F.lit("sched").alias("method"), "host", "url", "slot",
+        "not_before_s",
+    )
+    return waves.unionByName(sched)
 
 
 def q_frontier_schedule(spark, sf_dir):
@@ -2157,6 +2181,9 @@ FROM ({sqls["autocomplete"]})
 UNION ALL
 SELECT 'spell' AS method, qterm, suggestion, dist, df
 FROM ({sqls["spell_suggest"]})
+UNION ALL
+SELECT 'symspell' AS method, qterm, suggestion, dist, df
+FROM ({sqls["spell_symspell"]})
 """
 
     sqls["phrase"] = f"""
@@ -2631,9 +2658,16 @@ WITH {_MESSY_URL_SQL}
     )
 
     sqls["frontier_suite"] = f"""
-SELECT 'base' AS method, * FROM ({sqls["frontier"]})
+SELECT 'base' AS method, host, url,
+       (-1)::BIGINT AS slot, (-1.0)::DOUBLE AS not_before_s
+FROM ({sqls["frontier"]})
 UNION ALL
-SELECT 'fmw' AS method, * FROM ({sqls["frontier_robots_fmw"]})
+SELECT 'fmw' AS method, host, url,
+       (-1)::BIGINT AS slot, (-1.0)::DOUBLE AS not_before_s
+FROM ({sqls["frontier_robots_fmw"]})
+UNION ALL
+SELECT 'sched' AS method, host, url, slot, not_before_s
+FROM ({sqls["frontier_schedule"]})
 """
 
     from search_engine_spark.operators.pagerank import synthetic_edges_sql
