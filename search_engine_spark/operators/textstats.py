@@ -441,6 +441,11 @@ def spell_suggest_symspell(
     cand = (
         deletes.filter(F.col("variant").isin(all_variants))
         .join(F.broadcast(qdf), "variant")
+        # repartition by qterm BEFORE the pair-dedup: hash(qterm) is a
+        # subset-clustering for groups (qterm, suggestion) AND for the
+        # ranking window's partition key, so dedup + window reuse this ONE
+        # exchange instead of shuffling twice
+        .repartition("qterm")
         .dropDuplicates(["qterm", "suggestion"])
         .withColumn(
             "dist", F.levenshtein(F.col("qterm"), F.col("suggestion"))

@@ -263,6 +263,56 @@ def main() -> None:
         ],
     )
 
+    # 9. SymSpell probe: the deletes index is read with a bucket
+    # PartitionFilter (partition pruning — O(variants) directories, not
+    # O(index)), the (qterm, variant) map broadcasts, ranking is one window
+    import tempfile
+
+    from search_engine_spark.operators import textstats as TS
+
+    _sp_tmp = tempfile.mkdtemp(prefix="se_audit_spell_")
+    _vocab = spark.createDataFrame(
+        [(f"term{i:04d}", i) for i in range(500)], "term string, df long"
+    )
+    (
+        TS.spell_deletes_index(_vocab, max_dist=2, buckets=64)
+        .repartition(8, "bucket").write.partitionBy("bucket")
+        .parquet(_sp_tmp + "/deletes")
+    )
+    audit(
+        "SymSpell deletes-index probe",
+        TS.spell_suggest_symspell(
+            spark.read.parquet(_sp_tmp + "/deletes"),
+            "term0i23 zzz", k=5, max_dist=2, buckets=64,
+        ),
+        [
+            ("bucket partition pruning",
+             lambda p: "PartitionFilters" in p
+             and "bucket" in p.split("PartitionFilters", 1)[1][:200]),
+            ("query-variant map broadcast",
+             lambda p: "BroadcastHashJoin" in p),
+            ("single-pass ranking (exactly one window partitioning key)",
+             lambda p: _formatted_tail(p).count(
+                 "hashpartitioning(qterm") <= 1),
+            ("no Python", lambda p: "MapInPandas" not in p
+             and "ArrowEvalPython" not in p and "BatchEvalPython" not in p),
+        ],
+    )
+
+    # 10. politeness wave planner: crawl-delay table broadcasts, slots are
+    # one per-host window over the already-capped wave
+    audit(
+        "politeness wave planner (frontier_schedule)",
+        qs["frontier_schedule"](spark, sf_dir),
+        [
+            ("crawl-delay table broadcast",
+             lambda p: "BroadcastHashJoin" in p),
+            ("windowed slot assignment", lambda p: "Window" in p),
+            ("no Python", lambda p: "MapInPandas" not in p
+             and "ArrowEvalPython" not in p and "BatchEvalPython" not in p),
+        ],
+    )
+
     out = ["# PLANS.md — physical-plan audit\n\n",
            f"Generated by tools/explain_audit.py over `{sf_dir}`.\n\n"]
     all_ok = True
