@@ -137,8 +137,9 @@ def main() -> None:
     # window
     import statistics
 
+    reps = int(os.environ.get("SCAL_REPS", "2"))
     runs1, runs4 = [], []
-    for i in range(2):
+    for i in range(reps):
         runs4.append(run_at(4, pages_path, os.path.join(tmp, f"idx4_{i}")))
         runs1.append(run_at(1, pages_path, os.path.join(tmp, f"idx1_{i}")))
     r1 = min(runs1, key=lambda r: r["wall_s"])
@@ -173,7 +174,7 @@ def main() -> None:
             f"| {r4['n_docs']} | 4 × {EXEC_CORES} | {r4['wall_s']:.1f} | {r4['docs_per_sec']:.1f} |\n",
             f"\n**speedup N→4N = {out['speedup_1_to_4_executors']}×, efficiency = "
             f"{out['scaling_efficiency']} ({'PASS' if out['pass'] else 'FAIL'} ≥ 0.8)**\n",
-            f"\nBest-of-2 per size, sizes alternated (A-B-A-B) to decorrelate host\n",
+            f"\nBest-of-{len(runs1)} per size, sizes alternated (A-B-A-B) to decorrelate host\n",
             f"noise; all runs: 1-exec {r1['docs_per_sec_runs']}, 4-exec {r4['docs_per_sec_runs']} docs/s.\n",
             "Pipeline measured from raw html (extraction + tokenize + stats +\n",
             "block build + layout writes).\n",
