@@ -1489,6 +1489,30 @@ def q_media_frames(spark, sf_dir):
     return MM.sample_frames(media, every_k=4)
 
 
+def q_media_video(spark, sf_dir):
+    """Video decode over REAL monochrome Y4M payloads (r5): spec-complete
+    YUV4MPEG2 streams (ffmpeg-readable) whose luma follows
+    px[f][i] = (doc_id*31 + f*257 + i*7) % 256, parsed by the native
+    chunk-walking container decoder; every 4th frame's integer-exact
+    luma stats are emitted, so the oracle mirrors the decode
+    arithmetically while Spark walks actual container bytes."""
+    media = MM.media_from_docs(_docs(spark, sf_dir))
+    return MM.decode_frames(media, every_k=4)
+
+
+def q_media_audio(spark, sf_dir):
+    """Audio decode over REAL PCM16 WAV payloads (r5): the payloads are
+    spec-complete RIFF/WAVE files (stdlib-`wave`-readable) following the
+    linear sample rule s[i] = ((doc_id*131 + i*17) % 4096) - 2048, so the
+    oracle reproduces every stat arithmetically while Spark round-trips
+    actual bytes through the Arrow decode UDF. Integer-exact outputs
+    (BIGINT sum / INT max) — no float hazards in the hash gate."""
+    media = MM.media_from_docs(_docs(spark, sf_dir))
+    return MM.decode_audio(media).select(
+        "media_id", "sample_rate", "n_samples", "sum_amp", "max_amp"
+    )
+
+
 # --- approximate ops (rows-only gate: no SQL oracle) ------------------------
 
 def q_lsh_topk(spark, sf_dir):
@@ -1696,6 +1720,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "media_decode": q_media_decode,
         "media_resize": q_media_resize,
+        "media_audio": q_media_audio,  # real-WAV decode path (r5)
+        "media_video": q_media_video,  # real-Y4M decode path (r5)
         "contamination": q_contamination,
         "repetition": q_repetition,
         "pii_scrub": q_pii_scrub,
@@ -2840,6 +2866,49 @@ FROM v, unnest(generate_series(0, nf-1, 4)) AS t(i)
 SELECT 'orig' AS stage, * FROM ({sqls["media_decode"]})
 UNION ALL
 SELECT 'resized' AS stage, * FROM ({sqls["media_resize"]})
+"""
+
+    # audio payloads are real PCM16 WAV files whose samples follow
+    # s[i] = ((doc_id*131 + i*17) % 4096) - 2048 with 64 + doc_id % 101
+    # samples (multimodal.encode_linear_audio), so the oracle mirrors the
+    # decode stats arithmetically while Spark decodes actual RIFF bytes.
+    sqls["media_audio"] = """
+WITH a AS (
+  SELECT doc_id, 64 + doc_id % 101 AS n
+  FROM documents WHERE doc_id % 3 = 1
+),
+s AS (
+  SELECT a.doc_id, a.n, ((a.doc_id*131 + t.i*17) % 4096) - 2048 AS v
+  FROM a, unnest(generate_series(0, a.n - 1)) AS t(i)
+)
+SELECT doc_id AS media_id, 16000::INT AS sample_rate,
+       n::BIGINT AS n_samples, sum(v)::BIGINT AS sum_amp,
+       max(v)::INT AS max_amp
+FROM s GROUP BY doc_id, n
+"""
+
+    # video payloads are real monochrome Y4M streams whose luma follows
+    # px[f][i] = (doc_id*31 + f*257 + i*7) % 256, dims (4+id%13) x
+    # (3+id%7), 8 + id % 25 frames (multimodal.encode_linear_video);
+    # every 4th frame's stats are mirrored arithmetically.
+    sqls["media_video"] = """
+WITH v AS (
+  SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h,
+         8 + doc_id % 25 AS nf
+  FROM documents WHERE doc_id % 3 = 2
+),
+fr AS (
+  SELECT v.*, tf.f FROM v, unnest(generate_series(0, nf - 1, 4)) AS tf(f)
+),
+px AS (
+  SELECT fr.doc_id, fr.f, fr.w, fr.h,
+         (fr.doc_id*31 + fr.f*257 + t.i*7) % 256 AS luma
+  FROM fr, unnest(generate_series(0, fr.w*fr.h - 1)) AS t(i)
+)
+SELECT doc_id AS media_id, f::INT AS frame_idx, w::INT AS width,
+       h::INT AS height, sum(luma)::BIGINT AS sum_luma,
+       max(luma)::INT AS max_luma
+FROM px GROUP BY doc_id, f, w, h
 """
 
     sqls["ann_topk"] = f"""

@@ -5,11 +5,17 @@ typed metadata struct; decode / feature-extract / resize / frame-sample run
 as Arrow-batched pandas UDFs over ``mapInPandas``. The Spark-side plumbing
 here — schemas, batch iteration, partitioning, UDF signatures — is real and
 tested; the codec seam is optional-PIL: ``_decode_payload`` parses the
-deterministic FIMG test format natively and routes any other payload
-through PIL when Pillow is importable (grayscale decode), raising
-``NotImplementedError`` when it is not (this container ships no image
-libraries — the PIL branch is exercised by skip-marked tests wherever
-Pillow exists).
+deterministic FIMG test format and real 24-bpp BMP natively and routes
+any other payload through PIL when Pillow is importable (grayscale
+decode), raising ``NotImplementedError`` when it is not (this container
+ships no image libraries — the PIL branch is exercised by skip-marked
+tests wherever Pillow exists). Audio and video have the same two-tier
+design: ``_decode_wav`` parses real PCM16 mono RIFF/WAVE natively
+(stdlib-``wave`` cross-checked) and raises at the seam where
+soundfile/librosa would slot in for compressed codecs; ``_decode_y4m``
+parses real monochrome YUV4MPEG2 streams natively and raises at the seam
+where ffmpeg/PyAV would slot in for chroma-subsampled or compressed
+video.
 
 Media table schema:
     media(media_id long, doc_id long, kind string,        -- image|audio|video
@@ -57,13 +63,19 @@ def gen_media_df(
                 kind = ("image", "audio", "video")[mid % 3]
                 w, h = 8 + mid % 24, 8 + (mid // 3) % 16
                 nf = 1 if kind == "image" else 16 + mid % 32
-                sr = 16000 if kind == "audio" else 0
-                payload = encode_fake_image(w, h, seed=mid)
-                rows.append(
-                    (mid, mid // 2, kind, payload,
-                     {"width": w, "height": h, "n_frames": nf,
-                      "sample_rate": sr, "codec": "fimg"})
-                )
+                if kind == "audio":
+                    payload = encode_linear_audio(mid, 64 + mid % 101)
+                    meta = {"width": 0, "height": 0, "n_frames": 0,
+                            "sample_rate": 16000, "codec": "pcm16"}
+                elif kind == "video":
+                    payload = encode_linear_video(mid, nf, w, h)
+                    meta = {"width": w, "height": h, "n_frames": nf,
+                            "sample_rate": 0, "codec": "y4m"}
+                else:
+                    payload = encode_fake_image(w, h, seed=mid)
+                    meta = {"width": w, "height": h, "n_frames": nf,
+                            "sample_rate": 0, "codec": "fimg"}
+                rows.append((mid, mid // 2, kind, payload, meta))
             yield pd.DataFrame(
                 rows, columns=["media_id", "doc_id", "kind", "payload", "meta"]
             )
@@ -86,11 +98,15 @@ def encode_linear_image(doc_id: int, width: int, height: int) -> bytes:
 def media_from_docs(docs: DataFrame) -> DataFrame:
     """Deterministic media table derived from a documents(doc_id, ...) table.
 
-    kind cycles image/audio/video by ``doc_id % 3``; image dims are
+    kind cycles image/audio/video by ``doc_id % 3``; image/video dims are
     ``(4 + doc_id % 13) x (3 + doc_id % 7)``; video frame counts are
-    ``8 + doc_id % 25``; payloads use the linear pixel rule
-    (:func:`encode_linear_image`). Everything is a pure function of doc_id,
-    so the gate oracle can mirror decode/resize/frame-sample exactly."""
+    ``8 + doc_id % 25``. Image payloads use the linear pixel rule
+    (:func:`encode_linear_image`); audio payloads are REAL PCM16 WAV
+    files with ``64 + doc_id % 101`` samples following the linear sample
+    rule (:func:`encode_linear_audio`); video payloads are REAL
+    monochrome Y4M streams following the linear luma rule
+    (:func:`encode_linear_video`). Everything is a pure function of
+    doc_id, so the gate oracle can mirror every decode stat exactly."""
     src = docs.select(F.col("doc_id").cast("long"))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -99,13 +115,27 @@ def media_from_docs(docs: DataFrame) -> DataFrame:
             for did in pdf["doc_id"]:
                 did = int(did)
                 kind = ("image", "audio", "video")[did % 3]
+                if kind == "audio":
+                    n = 64 + did % 101
+                    rows.append(
+                        (did, did, kind, encode_linear_audio(did, n),
+                         {"width": 0, "height": 0, "n_frames": 0,
+                          "sample_rate": 16000, "codec": "pcm16"})
+                    )
+                    continue
                 w, h = 4 + did % 13, 3 + did % 7
-                nf = 1 if kind == "image" else 8 + did % 25
-                sr = 16000 if kind == "audio" else 0
+                if kind == "video":
+                    nf = 8 + did % 25
+                    rows.append(
+                        (did, did, kind, encode_linear_video(did, nf, w, h),
+                         {"width": w, "height": h, "n_frames": nf,
+                          "sample_rate": 0, "codec": "y4m"})
+                    )
+                    continue
                 rows.append(
                     (did, did, kind, encode_linear_image(did, w, h),
-                     {"width": w, "height": h, "n_frames": nf,
-                      "sample_rate": sr, "codec": "fimg"})
+                     {"width": w, "height": h, "n_frames": 1,
+                      "sample_rate": 0, "codec": "fimg"})
                 )
             yield pd.DataFrame(
                 rows, columns=["media_id", "doc_id", "kind", "payload", "meta"]
@@ -201,6 +231,71 @@ def _decode_payload(payload: bytes) -> np.ndarray:
         return np.asarray(im.convert("L"), dtype=np.uint8)
 
 
+def encode_wav_pcm16(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Encode an int16 mono sample array as a REAL RIFF/WAVE file
+    (PCM format 1, 1 channel, 16-bit little-endian) — spec-complete, so
+    any audio tool (including Python's stdlib ``wave`` module) opens it.
+    The audio analogue of :func:`encode_bmp_gray`: it gives the
+    real-audio-format branch of :func:`decode_audio` an executed,
+    byte-verifiable path without any audio library."""
+    data = np.ascontiguousarray(samples, dtype="<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def encode_linear_audio(
+    doc_id: int, n_samples: int, sample_rate: int = 16000
+) -> bytes:
+    """WAV payload whose samples follow a linear rule in (doc_id, index):
+    ``s[i] = ((doc_id*131 + i*17) % 4096) - 2048``. Like
+    :func:`encode_linear_image`, chosen so an external SQL engine can
+    reproduce every decode statistic arithmetically — this is what lets
+    the audio decode path be oracle-checked end-to-end."""
+    idx = np.arange(n_samples, dtype=np.int64)
+    s = ((doc_id * 131 + idx * 17) % 4096 - 2048).astype(np.int16)
+    return encode_wav_pcm16(s, sample_rate)
+
+
+def _decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """Pure-Python RIFF chunk walker → (sample_rate, int16 mono samples).
+
+    Decodes PCM16 mono natively (the format :func:`encode_wav_pcm16`
+    emits and the one real-world ASR pipelines normalize to). Walks
+    chunks properly — unknown chunks (LIST/INFO, cue, odd-length with
+    pad byte) are skipped per spec, so third-party WAVs with metadata
+    still decode. Non-PCM / multichannel / non-16-bit raises
+    ``NotImplementedError``: the seam where a real deployment slots in
+    soundfile/librosa, mirroring the optional-PIL image seam."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAVE payload missing fmt/data chunk")
+    audio_fmt, n_ch, rate, _, _, bits = struct.unpack_from("<HHIIHH", fmt, 0)
+    if (audio_fmt, n_ch, bits) != (1, 1, 16):
+        raise NotImplementedError(
+            f"only PCM16 mono WAV is decoded natively (got format="
+            f"{audio_fmt}, channels={n_ch}, bits={bits}); other audio "
+            f"routes through an external codec library (soundfile/librosa)"
+        )
+    return int(rate), np.frombuffer(data, dtype="<i2")
+
+
 DECODED_SCHEMA = (
     "media_id long, width int, height int, mean_px double, sha1 string"
 )
@@ -227,6 +322,148 @@ def decode_images(media: DataFrame) -> DataFrame:
             )
 
     return src.mapInPandas(run, schema=DECODED_SCHEMA)
+
+
+def encode_y4m_gray(frames: np.ndarray, fps: int = 25) -> bytes:
+    """Encode an (n_frames, H, W) uint8 array as a REAL YUV4MPEG2 (.y4m)
+    stream — monochrome colourspace (``Cmono``: luma plane only), the
+    plain-text-header raw-frame container ffmpeg/mpv/mjpegtools read
+    directly. The video analogue of :func:`encode_bmp_gray` /
+    :func:`encode_wav_pcm16`: it gives the real-video-format branch an
+    executed, byte-verifiable path without any video library."""
+    frames = np.ascontiguousarray(frames).astype(np.uint8, copy=False)
+    nf, h, w = frames.shape
+    head = f"YUV4MPEG2 W{w} H{h} F{fps}:1 Ip A1:1 Cmono\n".encode()
+    return head + b"".join(
+        b"FRAME\n" + frames[f].tobytes() for f in range(nf)
+    )
+
+
+def encode_linear_video(
+    doc_id: int, n_frames: int, width: int, height: int
+) -> bytes:
+    """Y4M payload whose luma follows a linear rule in (doc_id, frame,
+    pixel index): ``px[f][i] = (doc_id*31 + f*257 + i*7) % 256``. Like the
+    image/audio linear rules, chosen so an external SQL engine reproduces
+    every per-frame decode statistic arithmetically."""
+    f = np.arange(n_frames, dtype=np.int64)[:, None]
+    i = np.arange(width * height, dtype=np.int64)[None, :]
+    px = ((doc_id * 31 + f * 257 + i * 7) % 256).astype(np.uint8)
+    return encode_y4m_gray(px.reshape(n_frames, height, width))
+
+
+def _decode_y4m(payload: bytes) -> np.ndarray:
+    """Pure-Python YUV4MPEG2 parser → (n_frames, H, W) uint8 luma.
+
+    Parses the space-separated header tags (W/H/F/I/A/C...), then walks
+    ``FRAME`` markers (per spec each may carry its own parameters up to
+    the newline). Monochrome (``Cmono``) decodes natively — the format
+    :func:`encode_y4m_gray` emits; chroma-subsampled colourspaces (C420
+    et al.) raise ``NotImplementedError``: the seam where a real
+    deployment slots in ffmpeg/PyAV, mirroring the image/audio seams."""
+    eol = payload.find(b"\n")
+    if eol < 0 or not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    w = h = 0
+    cspace = "420jpeg"  # the Y4M default when no C tag is present
+    for tag in payload[:eol].decode("ascii", "replace").split()[1:]:
+        if tag[0] == "W":
+            w = int(tag[1:])
+        elif tag[0] == "H":
+            h = int(tag[1:])
+        elif tag[0] == "C":
+            cspace = tag[1:]
+    if w <= 0 or h <= 0:
+        raise ValueError("YUV4MPEG2 header missing W/H")
+    if cspace != "mono":
+        raise NotImplementedError(
+            f"only monochrome (Cmono) Y4M is decoded natively (got "
+            f"C{cspace}); chroma-subsampled video routes through an "
+            f"external codec library (ffmpeg/PyAV)"
+        )
+    frames, pos, fsize = [], eol + 1, w * h
+    while pos < len(payload):
+        if payload[pos : pos + 5] != b"FRAME":
+            raise ValueError("malformed Y4M frame marker")
+        fe = payload.find(b"\n", pos)  # frame line may carry parameters
+        if fe < 0 or fe + 1 + fsize > len(payload):
+            raise ValueError("truncated Y4M frame")
+        frames.append(
+            np.frombuffer(payload, np.uint8, count=fsize, offset=fe + 1)
+        )
+        pos = fe + 1 + fsize
+    return np.stack(frames).reshape(len(frames), h, w) if frames else (
+        np.empty((0, h, w), np.uint8)
+    )
+
+
+FRAME_STATS_SCHEMA = (
+    "media_id long, frame_idx int, width int, height int, "
+    "sum_luma bigint, max_luma int"
+)
+
+
+def decode_frames(media: DataFrame, every_k: int = 1) -> DataFrame:
+    """Video decode stage: Y4M payload → per-frame luma stats for every
+    k-th frame. The payload-decoding sibling of the metadata-only
+    :func:`sample_frames`: Arrow-batched ``mapInPandas``, one container
+    parse per row, integer-exact outputs so the gate oracle mirrors them
+    without float hazards."""
+    src = media.filter(F.col("kind") == "video").select("media_id", "payload")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                fr = _decode_y4m(bytes(payload))
+                for fi in range(0, fr.shape[0], every_k):
+                    plane = fr[fi]
+                    out.append(
+                        (int(mid), fi, plane.shape[1], plane.shape[0],
+                         int(plane.astype(np.int64).sum()),
+                         int(plane.max()) if plane.size else 0)
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "frame_idx", "width", "height",
+                         "sum_luma", "max_luma"],
+            )
+
+    return src.mapInPandas(run, schema=FRAME_STATS_SCHEMA)
+
+
+AUDIO_SCHEMA = (
+    "media_id long, sample_rate int, n_samples bigint, "
+    "sum_amp bigint, max_amp int, sha1 string"
+)
+
+
+def decode_audio(media: DataFrame) -> DataFrame:
+    """Audio decode stage: WAV payload → per-clip sample stats. The audio
+    sibling of :func:`decode_images`: Arrow-batched ``mapInPandas``, one
+    codec call per row inside the batch loop. Stats are integer-exact
+    (BIGINT sample sum / max amplitude) so the gate oracle can mirror
+    them without float-rounding hazards."""
+    src = media.filter(F.col("kind") == "audio").select("media_id", "payload")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                rate, s = _decode_wav(bytes(payload))
+                out.append(
+                    (int(mid), rate, int(s.size),
+                     int(s.astype(np.int64).sum()),
+                     int(s.max()) if s.size else 0,
+                     hashlib.sha1(s.tobytes()).hexdigest())
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "sample_rate", "n_samples",
+                         "sum_amp", "max_amp", "sha1"],
+            )
+
+    return src.mapInPandas(run, schema=AUDIO_SCHEMA)
 
 
 RESIZED_SCHEMA = "media_id long, width int, height int, payload binary"

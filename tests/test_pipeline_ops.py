@@ -591,6 +591,144 @@ def test_bmp_real_format_decodes_without_pil(spark):
     assert len(res) == 1 and len(bytes(res[0]["payload"])) == 12 + 16
 
 
+def test_wav_real_format_round_trip(spark):
+    """The executed real-audio-format path: a spec-complete PCM16 mono
+    RIFF/WAVE round-trips through the native chunk-walking decoder with
+    NO audio library, and Python's stdlib ``wave`` module — an entirely
+    independent implementation — reads the same bytes identically, so
+    encoder and decoder meet only at the published file format. Also
+    covers chunk skipping (odd-length LIST chunk with pad byte), the
+    non-PCM seam, and garbage rejection."""
+    import io
+    import struct as _s
+    import wave
+
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    for n, rate in [(1, 8000), (64, 16000), (321, 44100)]:
+        samples = rng.integers(-32768, 32768, size=n, dtype=np.int16)
+        wav = M.encode_wav_pcm16(samples, rate)
+        got_rate, got = M._decode_wav(wav)
+        assert got_rate == rate and (got == samples).all()
+        with wave.open(io.BytesIO(wav)) as wf:  # stdlib cross-check
+            assert (wf.getnchannels(), wf.getsampwidth(),
+                    wf.getframerate(), wf.getnframes()) == (1, 2, rate, n)
+            assert wf.readframes(n) == samples.tobytes()
+
+    # third-party WAVs carry metadata chunks: an odd-length LIST chunk
+    # (pad byte per spec) before data must be skipped, not break parsing
+    samples = rng.integers(-32768, 32768, size=7, dtype=np.int16)
+    wav = M.encode_wav_pcm16(samples, 16000)
+    fmt_end = 12 + 8 + 16
+    extra = b"LIST" + _s.pack("<I", 5) + b"INFOx" + b"\x00"  # odd + pad
+    patched = bytearray(wav[:fmt_end] + extra + wav[fmt_end:])
+    _s.pack_into("<I", patched, 4, len(patched) - 8)
+    got_rate, got = M._decode_wav(bytes(patched))
+    assert got_rate == 16000 and (got == samples).all()
+
+    # non-PCM16-mono (IEEE float fmt=3) hits the codec seam honestly
+    floaty = bytearray(wav)
+    _s.pack_into("<H", floaty, 20, 3)
+    with pytest.raises(NotImplementedError):
+        M._decode_wav(bytes(floaty))
+    stereo = bytearray(wav)
+    _s.pack_into("<H", stereo, 22, 2)
+    with pytest.raises(NotImplementedError):
+        M._decode_wav(bytes(stereo))
+    with pytest.raises(ValueError):
+        M._decode_wav(b"OggS" + b"\x00" * 40)
+    with pytest.raises(ValueError):
+        M._decode_wav(b"RIFF\x04\x00\x00\x00WAVE")  # no fmt/data
+
+
+def test_y4m_real_format_round_trip(spark):
+    """The executed real-video-format path: a spec-complete monochrome
+    YUV4MPEG2 stream round-trips through the native container parser with
+    NO video library — encoder and decoder meet only at the published
+    format. Covers parameterized FRAME lines (per spec), the
+    chroma-subsampled seam, the no-C-tag default, and truncation."""
+    import struct as _s  # noqa: F401 - symmetry with sibling tests
+
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+    for nf, h, w in [(1, 3, 4), (5, 7, 5), (12, 2, 9)]:
+        frames = rng.integers(0, 256, size=(nf, h, w), dtype=np.uint8)
+        y4m = M.encode_y4m_gray(frames)
+        assert y4m.startswith(b"YUV4MPEG2 ")
+        got = M._decode_y4m(y4m)
+        assert got.shape == (nf, h, w) and (got == frames).all()
+
+    # per spec each FRAME line may carry its own parameters: still parses
+    frames = rng.integers(0, 256, size=(2, 3, 4), dtype=np.uint8)
+    y4m = M.encode_y4m_gray(frames)
+    patched = y4m.replace(b"FRAME\n", b"FRAME Xsome-param\n", 1)
+    got = M._decode_y4m(patched)
+    assert (got == frames).all()
+
+    # chroma-subsampled colourspace hits the codec seam honestly
+    with pytest.raises(NotImplementedError):
+        M._decode_y4m(y4m.replace(b"Cmono", b"C420jpeg"))
+    # no C tag defaults to 420jpeg per spec: same seam
+    with pytest.raises(NotImplementedError):
+        M._decode_y4m(y4m.replace(b" Cmono", b""))
+    with pytest.raises(ValueError):
+        M._decode_y4m(b"\x00\x00\x00\x18ftypmp42" + b"\x00" * 32)  # mp4
+    with pytest.raises(ValueError):
+        M._decode_y4m(y4m[: len(y4m) - 3])  # truncated last frame
+
+
+def test_decode_frames_df(spark):
+    """decode_frames over media_from_docs matches the linear luma rule
+    (the property the gate oracle mirrors in SQL), on video rows only,
+    at the gate's every-4th-frame sampling."""
+    import numpy as np
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(20)], "doc_id long, text string"
+    )
+    media = M.media_from_docs(docs)
+    out = {}
+    for r in M.decode_frames(media, every_k=4).collect():
+        out.setdefault(r["media_id"], {})[r["frame_idx"]] = r
+    assert set(out) == {i for i in range(20) if i % 3 == 2}
+    for did, by_frame in out.items():
+        w, h, nf = 4 + did % 13, 3 + did % 7, 8 + did % 25
+        assert sorted(by_frame) == list(range(0, nf, 4))
+        for fi, r in by_frame.items():
+            i = np.arange(w * h, dtype=np.int64)
+            luma = (did * 31 + fi * 257 + i * 7) % 256
+            assert (r["width"], r["height"]) == (w, h)
+            assert r["sum_luma"] == int(luma.sum())
+            assert r["max_luma"] == int(luma.max())
+
+
+def test_decode_audio_df(spark):
+    """decode_audio over media_from_docs matches the linear sample rule
+    (the property the gate oracle mirrors in SQL), on audio rows only."""
+    import numpy as np
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(20)], "doc_id long, text string"
+    )
+    media = M.media_from_docs(docs)
+    out = {r["media_id"]: r for r in M.decode_audio(media).collect()}
+    assert set(out) == {i for i in range(20) if i % 3 == 1}
+    for did, r in out.items():
+        n = 64 + did % 101
+        s = ((did * 131 + np.arange(n, dtype=np.int64) * 17) % 4096) - 2048
+        assert r["sample_rate"] == 16000
+        assert r["n_samples"] == n
+        assert r["sum_amp"] == int(s.sum())
+        assert r["max_amp"] == int(s.max())
+        import hashlib
+
+        assert r["sha1"] == hashlib.sha1(
+            s.astype(np.int16).tobytes()
+        ).hexdigest()
+
+
 def test_pil_bmp_cross_check(spark):
     """Wherever Pillow exists, PIL's own decode of our encoded BMP equals
     the native decoder bit-for-bit (R=G=B content — every luma variant
