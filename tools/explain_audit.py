@@ -313,6 +313,34 @@ def main() -> None:
         ],
     )
 
+    # 11. real-format media decode (WAV audio / Y4M video): the documents
+    # scan must prune to doc_id only (payload generation + decode are
+    # Arrow-batched mapInPandas stages; no row-wise Python anywhere)
+    audit(
+        "audio decode (media_audio, real WAV path)",
+        qs["media_audio"](spark, sf_dir),
+        [
+            ("documents scan prunes to doc_id only",
+             lambda p: "ReadSchema" in p
+             and "text" not in p.split("ReadSchema", 1)[1][:200]
+             and "doc_id" in p.split("ReadSchema", 1)[1][:200]),
+            ("Arrow-batched decode (MapInPandas, no row-wise Python)",
+             lambda p: "MapInPandas" in p and "BatchEvalPython" not in p),
+        ],
+    )
+    audit(
+        "video decode (media_video, real Y4M path)",
+        qs["media_video"](spark, sf_dir),
+        [
+            ("documents scan prunes to doc_id only",
+             lambda p: "ReadSchema" in p
+             and "text" not in p.split("ReadSchema", 1)[1][:200]
+             and "doc_id" in p.split("ReadSchema", 1)[1][:200]),
+            ("Arrow-batched decode (MapInPandas, no row-wise Python)",
+             lambda p: "MapInPandas" in p and "BatchEvalPython" not in p),
+        ],
+    )
+
     out = ["# PLANS.md — physical-plan audit\n\n",
            f"Generated by tools/explain_audit.py over `{sf_dir}`.\n\n"]
     all_ok = True
