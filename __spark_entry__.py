@@ -25,6 +25,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from search_engine_spark.operators import bpe as BPE
 from search_engine_spark.operators import dedup as D
 from search_engine_spark.operators import sampling as SMP
 from search_engine_spark.operators import similarity as S
@@ -1580,6 +1581,34 @@ def q_doc_signatures(spark, sf_dir):
     )
 
 
+def q_bpe_vocab(spark, sf_dir):
+    """Learned BPE merge table over the corpus (Sennrich et al. 2016
+    subword training; operators/bpe.py — the trainer that PRODUCES the
+    vocabulary `doc_signatures`' token estimate only approximates).
+    One corpus-sized word-count pass, then the guarded merge loop over
+    the pruned dictionary. Iterative global-argmax training is not
+    SQL-expressible (recursive CTEs cannot aggregate over the recursive
+    term), so this is a rows-only gate row; value-level parity is
+    pinned in tests/test_bpe.py instead — guarded driver loop ==
+    one-shuffle-per-round distributed loop == naive recount reference,
+    and encode == replay-in-rank-order."""
+    return BPE.bpe_train(spark, _docs(spark, sf_dir), num_merges=48).orderBy(
+        "rank"
+    )
+
+
+def q_bpe_encoded(spark, sf_dir):
+    """Corpus re-encoded with the learned merge table: per-doc subword
+    stats via ONE Arrow-batched mapInPandas (ranks table in the
+    closure, per-batch word cache so Zipf repetition is a dict hit, not
+    a re-encode). Rows-only for the same reason as bpe_vocab; the
+    n_words <= n_bpe_tokens <= n_chars compression invariants and the
+    pure-Python cross-check are pinned in tests/test_bpe.py."""
+    docs = _docs(spark, sf_dir)
+    merges = BPE.bpe_train(spark, docs, num_merges=48)
+    return BPE.bpe_encode(docs, merges).orderBy("docid")
+
+
 def q_ann_topk(spark, sf_dir):
     """Approximate top-k, both index families in one result: sign-LSH
     multi-probe and IVF(nprobe) over the same query vector, tagged by
@@ -1716,6 +1745,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "fingerprint": q_fingerprint,
         "bpe_tokens": q_bpe_tokens,
+        "bpe_vocab": q_bpe_vocab,  # real BPE trainer, rows-only (r5)
+        "bpe_encoded": q_bpe_encoded,  # merge-table apply, rows-only (r5)
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
         "media_decode": q_media_decode,
