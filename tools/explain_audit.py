@@ -341,6 +341,38 @@ def main() -> None:
         ],
     )
 
+    # 12. BPE trainer/encoder: the corpus-sized word-count pass must be
+    # ONE hash agg with map-side partial aggregation over a text-only
+    # pruned scan; the corpus re-encode must be Arrow-batched.
+    from search_engine_spark.operators.bpe import word_counts
+
+    docs = E._docs(spark, sf_dir)
+    audit(
+        "bpe word counts (the one corpus-sized training pass)",
+        word_counts(docs),
+        [
+            ("documents scan prunes to text only",
+             lambda p: "ReadSchema" in p
+             and "struct<text:string>" in p),
+            ("map-side combine (partial_count before the exchange)",
+             lambda p: "partial_count" in p),
+            ("single shuffle (one Exchange in the final plan)",
+             lambda p: p.split("== Initial Plan ==")[0].count(
+                 "Exchange hashpartitioning") == 1),
+        ],
+    )
+    audit(
+        "bpe corpus re-encode (bpe_encoded)",
+        qs["bpe_encoded"](spark, sf_dir),
+        [
+            ("documents scan prunes to doc_id,text",
+             lambda p: "ReadSchema" in p
+             and "struct<doc_id:bigint,text:string>" in p),
+            ("Arrow-batched encode (MapInPandas, no row-wise Python)",
+             lambda p: "MapInPandas" in p and "BatchEvalPython" not in p),
+        ],
+    )
+
     out = ["# PLANS.md — physical-plan audit\n\n",
            f"Generated by tools/explain_audit.py over `{sf_dir}`.\n\n"]
     all_ok = True
