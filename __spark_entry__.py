@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from search_engine_spark.operators import bpe as BPE
 from search_engine_spark.operators import dedup as D
+from search_engine_spark.operators import packing as PK
 from search_engine_spark.operators import sampling as SMP
 from search_engine_spark.operators import similarity as S
 from search_engine_spark.operators import multimodal as MM
@@ -1609,6 +1610,25 @@ def q_bpe_encoded(spark, sf_dir):
     return BPE.bpe_encode(docs, merges).orderBy("docid")
 
 
+def q_pack_sequences(spark, sf_dir):
+    """GPT-style concat-then-chunk sequence packing
+    (operators/packing.py): per-doc token counts → global exclusive
+    prefix sum in docid order → budget-256 context-window assignment
+    (seq_id, seq_offset, straddles). The Spark side runs the TWO-PHASE
+    distributed prefix sum (range-partitioned snapshot + per-partition
+    windows — no single-task global window); the oracle is the plain
+    sequential window-cumsum definition, so the gate proves the
+    distributed layout is exactly the sequential one."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        F.col("doc_id").alias("docid"),
+        F.size(T.tokens_col("text")).alias("n_tokens"),
+    )
+    return PK.pack_sequences(toks, budget=256).withColumnRenamed(
+        "start", "tok_start"
+    )
+
+
 def q_ann_topk(spark, sf_dir):
     """Approximate top-k, both index families in one result: sign-LSH
     multi-probe and IVF(nprobe) over the same query vector, tagged by
@@ -1747,6 +1767,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokens": q_bpe_tokens,
         "bpe_vocab": q_bpe_vocab,  # real BPE trainer, rows-only (r5)
         "bpe_encoded": q_bpe_encoded,  # merge-table apply, rows-only (r5)
+        "pack_sequences": q_pack_sequences,  # training-layout packing (r5)
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
         "media_decode": q_media_decode,
@@ -2560,6 +2581,25 @@ SELECT docid, len(toks)::INT AS n_tokens,
        len(list_distinct(toks))::INT AS n_unique,
        length(array_to_string(toks, ' '))::INT AS n_chars_norm
 FROM toks
+"""
+
+    sqls["pack_sequences"] = f"""
+WITH {TOKS_CTE},
+tc AS (SELECT docid, CAST(len(toks) AS BIGINT) AS n_tokens FROM toks),
+c AS (
+  SELECT docid, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           ORDER BY docid ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS tok_start
+  FROM tc
+)
+SELECT docid, n_tokens, tok_start,
+       tok_start // 256 AS seq_id,
+       tok_start % 256 AS seq_offset,
+       CAST(CASE WHEN n_tokens > 0
+                  AND (tok_start + n_tokens - 1) // 256 <> tok_start // 256
+            THEN 1 ELSE 0 END AS INT) AS straddles
+FROM c
 """
 
     sqls["fingerprint"] = f"""
