@@ -229,6 +229,44 @@ def main() -> None:
         print(f"WARN spell serve telemetry failed: {str(ex)[:200]}",
               file=sys.stderr)
 
+    # Tokenizer-pipeline telemetry (untimed region of the headline
+    # total, r5): the LLM training-data tail — BPE vocabulary training
+    # (guarded driver loop over the pruned word dict), corpus re-encode
+    # (one Arrow mapInPandas pass), and sequence packing (two-phase
+    # distributed prefix sum). Measured so a regression in any of the
+    # three stages is visible per round without disturbing the
+    # cross-round 24-query e2e set.
+    tokenizer: dict[str, float] = {}
+    try:
+        from pyspark.sql import functions as F  # noqa: F811
+        from search_engine_spark.operators import bpe as BPE
+        from search_engine_spark.operators.packing import pack_sequences
+
+        docs = E._docs(spark, sf_dir)
+        t0 = time.perf_counter()
+        merges = BPE.bpe_train(spark, docs, num_merges=64)
+        tokenizer["train_merges"] = merges.count()
+        tokenizer["train_s"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        enc = BPE.bpe_encode(docs, merges).localCheckpoint()
+        agg = enc.agg(
+            F.sum("n_bpe_tokens").alias("toks"),
+            F.count(F.lit(1)).alias("docs"),
+        ).collect()[0]
+        tokenizer["encode_s"] = round(time.perf_counter() - t0, 3)
+        tokenizer["bpe_tokens_total"] = int(agg["toks"])
+        t0 = time.perf_counter()
+        packed = pack_sequences(
+            enc.select("docid", F.col("n_bpe_tokens").alias("n_tokens")),
+            budget=2048,
+        )
+        n_seq = packed.agg(F.max("seq_id")).collect()[0][0]
+        tokenizer["pack_s"] = round(time.perf_counter() - t0, 3)
+        tokenizer["n_sequences"] = int(n_seq) + 1
+    except Exception as ex:  # telemetry must never sink the bench
+        print(f"WARN tokenizer telemetry failed: {str(ex)[:200]}",
+              file=sys.stderr)
+
     # index-build throughput over the deterministic synthetic web corpus
     from search_engine_spark.corpus import gen_pages_df
     from search_engine_spark.operators.indexer import build_index
@@ -261,6 +299,8 @@ def main() -> None:
         out["ann_recall@10"] = ann_recall
     if spell_serve:
         out["spell_serve"] = spell_serve
+    if tokenizer:
+        out["tokenizer_pipeline"] = tokenizer
     if warm_failed:
         out["warm_up_failed"] = warm_failed
     print(json.dumps(out))

@@ -373,6 +373,23 @@ def main() -> None:
         ],
     )
 
+    # 13. sequence packing: the distributed prefix sum must never plan a
+    # single-task global window — every Window is partitioned by _pid,
+    # and no SinglePartition exchange exists in the final plan
+    audit(
+        "sequence packing (pack_sequences, two-phase prefix sum)",
+        qs["pack_sequences"](spark, sf_dir),
+        [
+            ("no single-partition exchange in the final plan",
+             lambda p: "Exchange SinglePartition" not in
+             p.split("== Initial Plan ==")[0]),
+            ("windows are per-partition (partitioned by the range pid)",
+             lambda p: "_pid" in p and "Window" in p),
+            ("pure JVM arithmetic downstream (no Python eval)",
+             lambda p: "BatchEvalPython" not in p and "MapInPandas" not in p),
+        ],
+    )
+
     out = ["# PLANS.md — physical-plan audit\n\n",
            f"Generated by tools/explain_audit.py over `{sf_dir}`.\n\n"]
     all_ok = True
