@@ -29,6 +29,7 @@ from search_engine_spark.operators import bpe as BPE
 from search_engine_spark.operators import dedup as D
 from search_engine_spark.operators import packing as PK
 from search_engine_spark.operators import sampling as SMP
+from search_engine_spark.operators import serving as SV
 from search_engine_spark.operators import similarity as S
 from search_engine_spark.operators import multimodal as MM
 from search_engine_spark.operators import text_ops as T
@@ -1666,6 +1667,69 @@ def q_media_images(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Serving-tier re-rankers + corpus analytics (round 5 additions)
+# ---------------------------------------------------------------------------
+
+SNIPPET_QUERY = "spark table join"
+SERVE_POOL = 50  # candidate-pool size the re-rankers consume
+PMI_SEED = "vector"
+
+
+def q_snippets(spark, sf_dir):
+    """Query-aware result snippets: top-20 BM25 hits with a highlighted
+    extract window around the first query-term occurrence — the
+    query-aware upgrade of the reference's blind page-prefix description
+    (frontend/Master.java:74, 215-239)."""
+    docs = _docs(spark, sf_dir)
+    hits = T.bm25_topk(docs, SNIPPET_QUERY, k=20)
+    snips = SV.snippets(docs, SNIPPET_QUERY)
+    return hits.join(snips, "docid").select("docid", "score", "snippet")
+
+
+def q_recency_topk(spark, sf_dir):
+    """Freshness-fused top-10 over a top-50 BM25 pool. Ages derive from
+    the corpus warc_ts convention (corpus.py:222: EPOCH + docid seconds,
+    scaled to hours here so the decay spans real magnitudes): newest doc
+    = max docid, age_secs = (max_docid - docid) * 3600."""
+    docs = _docs(spark, sf_dir)
+    hits = T.bm25_topk(docs, SNIPPET_QUERY, k=SERVE_POOL)
+    mx = docs.agg(F.max("doc_id").alias("_mx"))
+    ages = docs.crossJoin(F.broadcast(mx)).select(
+        F.col("doc_id").alias("docid"),
+        ((F.col("_mx") - F.col("doc_id")) * 3600).alias("age_secs"),
+    )
+    return SV.recency_rerank(hits, ages, k=10)
+
+
+def q_host_collapse(spark, sf_dir):
+    """Site-collapsed top-10: one hit per host from a top-50 pool, over
+    the messy-URL corpus (hosts repeat every 37·7 doc-triples, so the
+    collapse genuinely drops same-host siblings)."""
+    pool = T.bm25_topk(_docs(spark, sf_dir), SNIPPET_QUERY, k=SERVE_POOL)
+    hosts = _messy_urls(spark, sf_dir).select(
+        F.col("doc_id").alias("docid"), U.url_host("url").alias("host")
+    )
+    hits = pool.join(hosts, "docid").select("docid", "host", "score")
+    return SV.host_collapse(hits, k=10)
+
+
+def q_cooccur_pmi(spark, sf_dir):
+    """Related-terms by document-level PMI, seed-anchored (the "related
+    searches" primitive; semi-join on the seed's posting, never
+    all-pairs)."""
+    return TS.cooccur_pmi(_docs(spark, sf_dir), PMI_SEED, min_df=2, k=20)
+
+
+def q_weighted_sample(spark, sf_dir):
+    """Continuous-weight training-mix sampling: keep probability =
+    min(n_chars, 2000)/2000 per document, deterministic hash-Bernoulli
+    on doc_id."""
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    w = F.least(F.col("n_chars"), F.lit(2000)) / F.lit(2000.0)
+    return SMP.weighted_sample(docs, key="doc_id", weight=w)
+
+
+# ---------------------------------------------------------------------------
 # Entry + registry
 # ---------------------------------------------------------------------------
 
@@ -1800,6 +1864,11 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_index_topk20": q_bm25_index_topk20,
         "bm25_index_pruned": q_bm25_index_pruned,
         "events_rollup": q_events_rollup,
+        "snippets": q_snippets,  # serving tier (r5)
+        "recency_topk": q_recency_topk,  # serving tier (r5)
+        "host_collapse": q_host_collapse,  # serving tier (r5)
+        "cooccur_pmi": q_cooccur_pmi,  # related searches (r5)
+        "weighted_sample": q_weighted_sample,  # training mix (r5)
     }
 
 
@@ -3022,6 +3091,39 @@ SELECT t.docid, md5(array_to_string(t.toks, ' ')) AS fp,
             THEN round(p.n_pieces * 1.0 / len(t.toks), 6)
             ELSE 0.0 END AS pieces_per_word
 FROM toks t JOIN p ON p.docid = t.docid
+"""
+
+    # --- serving-tier re-rankers + corpus analytics (round 5) ---
+    sqls["snippets"] = f"""
+SELECT h.docid, h.score, s.snippet
+FROM ({T.bm25_topk_sql_oracle(SNIPPET_QUERY, k=20)}) h
+JOIN ({SV.snippets_sql(SNIPPET_QUERY)}) s ON h.docid = s.docid
+"""
+
+    _ages_sql = (
+        "SELECT doc_id AS docid,"
+        " ((SELECT max(doc_id) FROM documents) - doc_id) * 3600 AS age_secs"
+        " FROM documents"
+    )
+    sqls["recency_topk"] = SV.recency_rerank_sql(
+        T.bm25_topk_sql_oracle(SNIPPET_QUERY, k=SERVE_POOL), _ages_sql, k=10
+    )
+
+    _host_pool_sql = f"""
+WITH {_MESSY_URL_SQL}
+SELECT h.docid, {U.url_host_sql('m.url')} AS host, h.score
+FROM ({T.bm25_topk_sql_oracle(SNIPPET_QUERY, k=SERVE_POOL)}) h
+JOIN msdocs m ON h.docid = m.doc_id
+"""
+    sqls["host_collapse"] = SV.host_collapse_sql(_host_pool_sql, k=10)
+
+    sqls["cooccur_pmi"] = TS.cooccur_pmi_sql(PMI_SEED, min_df=2, k=20)
+
+    sqls["weighted_sample"] = f"""
+SELECT doc_id, n_chars FROM documents
+WHERE {SMP.weighted_sample_sql(
+        "doc_id", "least(n_chars, 2000) / 2000.0"
+    )}
 """
 
     return sqls

@@ -134,3 +134,33 @@ def split_assign_sql(
         cum += weights[name]
         clauses.append(f"WHEN {h} < {int(cum * SCALE)} THEN '{name}'")
     return "CASE " + " ".join(clauses) + f" ELSE '{names[-1]}' END"
+
+
+def weighted_sample(
+    df: DataFrame, key: str, weight: Column, seed: int | str = "wsample"
+) -> DataFrame:
+    """Per-row weighted hash-Bernoulli keep: row survives iff
+    ``hash_uniform(key) < weight`` where ``weight`` is a Column in [0, 1].
+
+    The training-mix primitive: continuous per-document keep probabilities
+    (quality-, length-, or domain-derived) instead of a single fraction —
+    deterministic across engines, partitionings, and reruns, stable under
+    appends (a new row never flips an old row's verdict). The threshold is
+    materialised as ``floor(weight * SCALE)`` so both engines compare the
+    same integers (double→int casts round differently across engines;
+    floor does not). Pure map-side filter: no shuffle at any scale."""
+    thresh = F.floor(weight * F.lit(SCALE)).cast("long")
+    return df.filter(
+        (md5_int(F.col(key).cast("string"), seed=seed) % SCALE) < thresh
+    )
+
+
+def weighted_sample_sql(
+    key: str, weight_expr: str, seed: int | str = "wsample"
+) -> str:
+    """DuckDB WHERE-clause mirror of :func:`weighted_sample`."""
+    h = md5_int_sql(f"CAST({key} AS VARCHAR)", seed=seed)
+    return (
+        f"({h} % {SCALE}) < "
+        f"CAST(floor(({weight_expr}) * {SCALE}) AS BIGINT)"
+    )

@@ -752,3 +752,108 @@ def pii_scrub(
         F.regexp_count(t, F.lit(PII_IPV4_RE)).cast("long").alias("n_ips"),
         F.regexp_count(t, F.lit(PII_PHONE_RE)).cast("long").alias("n_phones"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Term co-occurrence / PMI ("related searches")
+# ---------------------------------------------------------------------------
+
+def cooccur_pmi(
+    docs: DataFrame,
+    seed: str,
+    min_df: int = 2,
+    k: int = 20,
+    docid: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """Top-k terms related to ``seed`` by document-level PMI.
+
+    The "related searches" primitive: for every term t co-occurring with
+    the seed term in at least one document,
+    ``pmi = ln(N * c(seed,t) / (c(seed) * c(t)))`` over document-presence
+    counts (tf ignored — presence, not frequency). Output
+    (term, copair, df, pmi), pmi rounded to Q_DECIMALS, ordered
+    (pmi desc, term asc), limited to k; terms with df < ``min_df`` are
+    dropped (singleton terms always score the degenerate max).
+
+    Scale shape: seed-anchored, never all-pairs — the presence list is
+    semi-joined to the seed's posting (so the pair aggregation touches
+    only documents containing the seed), corpus stats ride a broadcast
+    1-row crossJoin, and both aggregations are hash-agg with map-side
+    combine. At 10^12 docs the cost is O(tokens in seed-matching docs),
+    the same asymptotic as one query-term index probe.
+    """
+    pres = docs.select(
+        F.col(docid).alias("docid"),
+        F.explode(F.array_distinct(tokens_col(text))).alias("term"),
+    )
+    df_t = pres.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    seed_docs = pres.filter(F.col("term") == seed).select("docid")
+    joint = (
+        pres.join(seed_docs, "docid")
+        .filter(F.col("term") != seed)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("copair"))
+    )
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs")
+    ).crossJoin(
+        df_t.filter(F.col("term") == seed).select(
+            F.col("df").alias("c_seed")
+        )
+    )
+    pmi = F.round(
+        F.log(
+            (F.col("n_docs").cast("double") * F.col("copair"))
+            / (F.col("c_seed").cast("double") * F.col("df"))
+        ),
+        Q_DECIMALS,
+    )
+    return (
+        joint.join(df_t, "term")
+        .filter(F.col("df") >= min_df)
+        .crossJoin(F.broadcast(stats))
+        .select("term", "copair", "df", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), F.col("term").asc())
+        .limit(k)
+    )
+
+
+def cooccur_pmi_sql(
+    seed: str,
+    min_df: int = 2,
+    k: int = 20,
+    table: str = "documents",
+    docid: str = "doc_id",
+    text: str = "text",
+) -> str:
+    """DuckDB mirror of :func:`cooccur_pmi` — same counts, same double
+    expression order, same rounding and tie-break."""
+    return f"""
+WITH pres AS (
+  SELECT DISTINCT {docid} AS docid, t.term
+  FROM {table},
+       LATERAL unnest(list_filter(
+         string_split_regex(lower({text}), '[^a-z0-9]+'),
+         x -> x <> '')) AS t(term)
+),
+dft AS (SELECT term, count(*) AS df FROM pres GROUP BY term),
+seed_docs AS (SELECT docid FROM pres WHERE term = '{seed}'),
+joint AS (
+  SELECT term, count(*) AS copair
+  FROM pres JOIN seed_docs USING (docid)
+  WHERE term <> '{seed}'
+  GROUP BY term
+),
+stats AS (
+  SELECT (SELECT count(*) FROM {table}) AS n_docs,
+         (SELECT df FROM dft WHERE term = '{seed}') AS c_seed
+)
+SELECT term, copair, df,
+       round(ln((n_docs::DOUBLE * copair) / (c_seed::DOUBLE * df)),
+             {Q_DECIMALS}) AS pmi
+FROM joint JOIN dft USING (term) CROSS JOIN stats
+WHERE df >= {min_df}
+ORDER BY pmi DESC, term ASC
+LIMIT {k}
+"""
