@@ -1720,6 +1720,44 @@ def q_cooccur_pmi(spark, sf_dir):
     return TS.cooccur_pmi(_docs(spark, sf_dir), PMI_SEED, min_df=2, k=20)
 
 
+def q_facets(spark, sf_dir):
+    """Facet sidebar over a top-50 pool: per-host and per-lang counts
+    (top-10 each), over the messy-URL corpus attributes."""
+    pool = T.bm25_topk(_docs(spark, sf_dir), SNIPPET_QUERY, k=SERVE_POOL)
+    attrs = _messy_urls(spark, sf_dir).select(
+        F.col("doc_id").alias("docid"),
+        U.url_host("url").alias("host"),
+        "lang",
+    )
+    return SV.facet_counts(
+        pool.join(attrs, "docid"), facets=["host", "lang"], k=10
+    )
+
+
+def q_page_after(spark, sf_dir):
+    """Keyset pagination: page 2 (ranks 11-20) of the BM25 serp via the
+    (score, docid) cursor of rank 10 — the stateless deep-paging
+    contract (cost independent of page depth, unlike OFFSET)."""
+    pool = T.bm25_topk(_docs(spark, sf_dir), SNIPPET_QUERY, k=SERVE_POOL)
+    # orderBy().limit() collects in order (TakeOrderedAndProject);
+    # rank-10 row is the page-1 cursor
+    cursor = pool.collect()[9]
+    return SV.page_after(
+        pool, float(cursor["score"]), int(cursor["docid"]), k=10
+    )
+
+
+PROX_TERMS = ("spark", "join")
+
+
+def q_proximity_topk(spark, sf_dir):
+    """Proximity-fused top-10: BM25 pool re-ranked by the min token span
+    between the two query terms (adjacent ⇒ up to 1.5× boost)."""
+    docs = _docs(spark, sf_dir)
+    pool = T.bm25_topk(docs, " ".join(PROX_TERMS), k=SERVE_POOL)
+    return SV.proximity_rerank(docs, pool, *PROX_TERMS, k=10)
+
+
 def q_weighted_sample(spark, sf_dir):
     """Continuous-weight training-mix sampling: keep probability =
     min(n_chars, 2000)/2000 per document, deterministic hash-Bernoulli
@@ -1869,6 +1907,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_collapse": q_host_collapse,  # serving tier (r5)
         "cooccur_pmi": q_cooccur_pmi,  # related searches (r5)
         "weighted_sample": q_weighted_sample,  # training mix (r5)
+        "facets": q_facets,  # serving tier (r5)
+        "page_after": q_page_after,  # serving tier (r5)
+        "proximity_topk": q_proximity_topk,  # serving tier (r5)
     }
 
 
@@ -3118,6 +3159,32 @@ JOIN msdocs m ON h.docid = m.doc_id
     sqls["host_collapse"] = SV.host_collapse_sql(_host_pool_sql, k=10)
 
     sqls["cooccur_pmi"] = TS.cooccur_pmi_sql(PMI_SEED, min_df=2, k=20)
+
+    _attr_pool_sql = f"""
+WITH {_MESSY_URL_SQL}
+SELECT h.docid, {U.url_host_sql('m.url')} AS host, m.lang, h.score
+FROM ({T.bm25_topk_sql_oracle(SNIPPET_QUERY, k=SERVE_POOL)}) h
+JOIN msdocs m ON h.docid = m.doc_id
+"""
+    sqls["facets"] = SV.facet_counts_sql(
+        _attr_pool_sql, facets=["host", "lang"], k=10
+    )
+
+    sqls["page_after"] = f"""
+WITH pgpool AS ({T.bm25_topk_sql_oracle(SNIPPET_QUERY, k=SERVE_POOL)}),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY score DESC, docid ASC) AS rn
+  FROM pgpool
+)
+SELECT docid, score FROM ranked WHERE rn BETWEEN 11 AND 20
+ORDER BY score DESC, docid ASC
+"""
+
+    sqls["proximity_topk"] = SV.proximity_rerank_sql(
+        T.bm25_topk_sql_oracle(" ".join(PROX_TERMS), k=SERVE_POOL),
+        *PROX_TERMS,
+        k=10,
+    )
 
     sqls["weighted_sample"] = f"""
 SELECT doc_id, n_chars FROM documents

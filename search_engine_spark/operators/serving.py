@@ -233,3 +233,214 @@ SELECT docid, {host}, score FROM ranked WHERE rn = 1
 ORDER BY score DESC, docid ASC
 LIMIT {k}
 """
+
+
+def facet_counts(
+    hits: DataFrame, facets: list[str], k: int = 10
+) -> DataFrame:
+    """(facet, value, n) — top-k attribute counts per facet column over a
+    candidate pool (the filter sidebar of every search UI). One narrow
+    pass per facet over the pool (UNION of small hash aggs), then one
+    window for the per-facet top-k; at any corpus scale the input is the
+    pool, so this is broadcast-sized work."""
+    parts = [
+        hits.groupBy(F.col(c).cast("string").alias("value"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit(c).alias("facet"), "value", "n")
+        for c in facets
+    ]
+    pool = parts[0]
+    for p in parts[1:]:
+        pool = pool.unionByName(p)
+    w = Window.partitionBy("facet").orderBy(
+        F.col("n").desc(), F.col("value").asc()
+    )
+    return (
+        pool.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+        .orderBy("facet", F.col("n").desc(), F.col("value").asc())
+    )
+
+
+def facet_counts_sql(hits_sql: str, facets: list[str], k: int = 10) -> str:
+    """DuckDB mirror of :func:`facet_counts`."""
+    unions = " UNION ALL ".join(
+        f"SELECT '{c}' AS facet, {c}::VARCHAR AS value, count(*) AS n "
+        f"FROM pool GROUP BY {c}"
+        for c in facets
+    )
+    return f"""
+WITH pool AS ({hits_sql}),
+fc AS ({unions}),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY facet ORDER BY n DESC, value ASC) AS rn
+  FROM fc
+)
+SELECT facet, value, n FROM ranked WHERE rn <= {k}
+ORDER BY facet, n DESC, value ASC
+"""
+
+
+def page_after(
+    hits: DataFrame,
+    after_score: float,
+    after_docid,
+    k: int = 10,
+    docid: str = "docid",
+    score: str = "score",
+) -> DataFrame:
+    """Keyset pagination: the next ``k`` results strictly after the
+    (score, docid) cursor in the canonical (score desc, docid asc) order.
+
+    The stateless deep-paging contract — unlike OFFSET, cost does not grow
+    with page depth: the cursor predicate prunes before the top-k, so page
+    50 costs the same as page 1 (with a score-sorted index layout it also
+    prunes at the scan)."""
+    s, d = F.col(score), F.col(docid)
+    nxt = (s < F.lit(after_score)) | (
+        (s == F.lit(after_score)) & (d > F.lit(after_docid))
+    )
+    return (
+        hits.filter(nxt)
+        .orderBy(s.desc(), d.asc())
+        .limit(k)
+    )
+
+
+def page_after_sql(
+    hits_sql: str,
+    after_score: float,
+    after_docid,
+    k: int = 10,
+) -> str:
+    """DuckDB mirror of :func:`page_after`."""
+    d = (
+        f"'{after_docid}'"
+        if isinstance(after_docid, str)
+        else repr(after_docid)
+    )
+    return f"""
+WITH pool AS ({hits_sql})
+SELECT * FROM pool
+WHERE score < {after_score!r}
+   OR (score = {after_score!r} AND docid > {d})
+ORDER BY score DESC, docid ASC
+LIMIT {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Proximity-boosted ranking (2-term min-span bonus)
+# ---------------------------------------------------------------------------
+
+def proximity_rerank(
+    docs: DataFrame,
+    hits: DataFrame,
+    term_a: str,
+    term_b: str,
+    k: int = 10,
+    docid: str = "doc_id",
+    text: str = "text",
+    decimals: int = SCORE_DECIMALS,
+) -> DataFrame:
+    """Proximity-fused top-k: ``pscore = score * (1 + 1/(1 + minspan))``
+    where ``minspan`` is the smallest token distance between any
+    occurrence of ``term_a`` and any occurrence of ``term_b`` in the
+    document (the classic term-proximity ranking signal; docs where the
+    query terms are adjacent get up to a 1.5× boost, docs where they are
+    far apart asymptote to the plain BM25 order).
+
+    Shape: the position explode is restricted to the two query terms AND
+    semi-joined to the ``hits`` pool before the pair join, so the
+    quadratic min-span step runs on O(pool × per-doc term occurrences)
+    rows — never the corpus. Docs containing only one of the terms keep
+    their BM25 score (minspan = ∞ ⇒ bonus → identity via left join +
+    coalesce). Output (docid, score, minspan, pscore) ordered
+    (pscore desc, docid asc) limited to k.
+    """
+    pool = hits.select("docid", "score")
+    pos = (
+        widen_small_input(docs, light=True)
+        .select(
+            F.col(docid).alias("docid"),
+            F.posexplode(tokens_col(text)).alias("pos0", "term"),
+        )
+        .filter(F.col("term").isin([term_a, term_b]))
+        .join(pool.select("docid"), "docid")
+    )
+    pa = pos.filter(F.col("term") == term_a).select(
+        "docid", F.col("pos0").alias("pa")
+    )
+    pb = pos.filter(F.col("term") == term_b).select(
+        "docid", F.col("pos0").alias("pb")
+    )
+    spans = (
+        pa.join(pb, "docid")
+        .groupBy("docid")
+        .agg(F.min(F.abs(F.col("pa") - F.col("pb"))).alias("minspan"))
+    )
+    fused = pool.join(spans, "docid", "left").select(
+        "docid",
+        "score",
+        F.coalesce(F.col("minspan"), F.lit(None).cast("long")).alias(
+            "minspan"
+        ),
+        F.round(
+            F.col("score")
+            * (
+                F.lit(1.0)
+                + F.when(
+                    F.col("minspan").isNotNull(),
+                    F.lit(1.0) / (F.lit(1.0) + F.col("minspan")),
+                ).otherwise(F.lit(0.0))
+            ),
+            decimals,
+        ).alias("pscore"),
+    )
+    return fused.orderBy(F.col("pscore").desc(), F.col("docid").asc()).limit(k)
+
+
+def proximity_rerank_sql(
+    hits_sql: str,
+    term_a: str,
+    term_b: str,
+    k: int = 10,
+    table: str = "documents",
+    docid: str = "doc_id",
+    text: str = "text",
+    decimals: int = SCORE_DECIMALS,
+) -> str:
+    """DuckDB mirror of :func:`proximity_rerank` (positions are 0-based in
+    both engines: Spark posexplode and the generate_series offset here)."""
+    return f"""
+WITH pool AS ({hits_sql}),
+ptoks AS (
+  SELECT {docid} AS docid,
+         list_filter(string_split_regex(lower({text}), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM {table}
+),
+pos AS (
+  SELECT docid, g.i - 1 AS pos0, list_extract(toks, g.i) AS term
+  FROM ptoks JOIN pool USING (docid),
+       unnest(generate_series(1, len(toks))) AS g(i)
+  WHERE list_extract(toks, g.i) IN ('{term_a}', '{term_b}')
+),
+spans AS (
+  SELECT a.docid, min(abs(a.pos0 - b.pos0)) AS minspan
+  FROM (SELECT docid, pos0 FROM pos WHERE term = '{term_a}') a
+  JOIN (SELECT docid, pos0 FROM pos WHERE term = '{term_b}') b
+    ON a.docid = b.docid
+  GROUP BY a.docid
+)
+SELECT pool.docid, score, spans.minspan,
+       round(score * (1.0 + CASE WHEN spans.minspan IS NOT NULL
+                                 THEN 1.0 / (1.0 + spans.minspan)
+                                 ELSE 0.0 END),
+             {decimals}) AS pscore
+FROM pool LEFT JOIN spans ON pool.docid = spans.docid
+ORDER BY pscore DESC, pool.docid ASC
+LIMIT {k}
+"""

@@ -193,3 +193,66 @@ def test_serving_rerankers_compose_on_gate_corpus(spark):
     out = SV.host_collapse(hits, k=5).collect()
     assert len(out) == 5
     assert len({r["host"] for r in out}) == 5
+
+
+def test_page_after_cursor_semantics_with_ties(spark):
+    hits = spark.createDataFrame(
+        [(1, 5.0), (2, 5.0), (3, 5.0), (4, 4.0), (5, 3.0)],
+        "docid long, score double",
+    )
+    # cursor at (5.0, docid=2): tied docs AFTER the cursor docid come
+    # first, then lower scores — doc 1 (tied, earlier docid) must NOT
+    # reappear
+    rows = SV.page_after(hits, 5.0, 2, k=3).collect()
+    assert [r["docid"] for r in rows] == [3, 4, 5]
+
+
+def test_page_after_pages_partition_the_serp(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pool = bm25_topk(docs, "spark table join", k=30)
+    all_rows = pool.collect()
+    page1 = all_rows[:10]
+    cur = page1[-1]
+    page2 = SV.page_after(
+        pool, float(cur["score"]), int(cur["docid"]), k=10
+    ).collect()
+    assert [r["docid"] for r in page2] == [
+        r["docid"] for r in all_rows[10:20]
+    ]
+
+
+def test_proximity_rerank_prefers_adjacent_terms(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta filler filler filler"),      # adjacent: span 1
+            (2, "alpha filler filler filler beta"),      # span 4
+            (3, "alpha filler filler filler filler"),    # beta absent
+        ],
+        "doc_id long, text string",
+    )
+    hits = spark.createDataFrame(
+        [(1, 2.0), (2, 2.0), (3, 2.5)], "docid long, score double"
+    )
+    rows = SV.proximity_rerank(docs, hits, "alpha", "beta", k=3).collect()
+    by_id = {r["docid"]: r for r in rows}
+    assert by_id[1]["minspan"] == 1 and by_id[1]["pscore"] == 3.0
+    assert by_id[2]["minspan"] == 4 and by_id[2]["pscore"] == 2.4
+    # doc 3 has only one term: no bonus, keeps its BM25 score
+    assert by_id[3]["minspan"] is None and by_id[3]["pscore"] == 2.5
+    assert [r["docid"] for r in rows] == [1, 3, 2]
+
+
+def test_facet_counts_per_facet_topk(spark):
+    hits = spark.createDataFrame(
+        [
+            (1, "a.com", "en"),
+            (2, "a.com", "en"),
+            (3, "b.com", "en"),
+            (4, "b.com", "de"),
+        ],
+        "docid long, host string, lang string",
+    )
+    rows = SV.facet_counts(hits, facets=["host", "lang"], k=1).collect()
+    got = {(r["facet"], r["value"], r["n"]) for r in rows}
+    # k=1 per facet; ties break by value asc → a.com over b.com
+    assert got == {("host", "a.com", 2), ("lang", "en", 3)}
