@@ -1767,6 +1767,37 @@ def q_weighted_sample(spark, sf_dir):
     return SMP.weighted_sample(docs, key="doc_id", weight=w)
 
 
+DOMAIN_CAP = 20
+
+
+def q_domain_cap(spark, sf_dir):
+    """C4-style per-domain quota: ≤20 docs per registered domain, kept in
+    unbiased hash order (skew-safe two-level window)."""
+    src = _messy_urls(spark, sf_dir).select("doc_id", "url")
+    return U.domain_cap(src, cap=DOMAIN_CAP).select("doc_id", "domain")
+
+
+def q_crawl_delta(spark, sf_dir):
+    """Snapshot diff between two crawls: added / removed / changed urls —
+    the incremental-recrawl primitive (downstream re-extract/re-index
+    consumes the delta, not the full snapshot)."""
+    d = F.col("doc_id")
+    base = _docs(spark, sf_dir).select(
+        F.concat(F.lit("https://ex.com/"), d.cast("string")).alias("url"),
+        F.md5(F.col("text")).alias("fp"),
+        F.md5(F.concat(F.col("text"), F.lit("v2"))).alias("fp2"),
+        d.alias("_d"),
+    )
+    old = base.filter(F.col("_d") % 10 != 2).select("url", "fp")
+    new = base.filter(F.col("_d") % 10 != 3).select(
+        "url",
+        F.when(F.col("_d") % 10 == 5, F.col("fp2"))
+        .otherwise(F.col("fp"))
+        .alias("fp"),
+    )
+    return U.crawl_delta(old, new)
+
+
 # ---------------------------------------------------------------------------
 # Entry + registry
 # ---------------------------------------------------------------------------
@@ -1910,6 +1941,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facets": q_facets,  # serving tier (r5)
         "page_after": q_page_after,  # serving tier (r5)
         "proximity_topk": q_proximity_topk,  # serving tier (r5)
+        "domain_cap": q_domain_cap,  # C4 corpus balancing (r5)
+        "crawl_delta": q_crawl_delta,  # incremental recrawl (r5)
     }
 
 
@@ -3184,6 +3217,22 @@ ORDER BY score DESC, docid ASC
         T.bm25_topk_sql_oracle(" ".join(PROX_TERMS), k=SERVE_POOL),
         *PROX_TERMS,
         k=10,
+    )
+
+    sqls["domain_cap"] = U.domain_cap_sql(
+        DOMAIN_CAP, table="msdocs", cols="doc_id",
+        extra_cte=_MESSY_URL_SQL,
+    )
+
+    _delta_base = (
+        "SELECT concat('https://ex.com/', doc_id::VARCHAR) AS url,"
+        " md5(text) AS fp, md5(concat(text, 'v2')) AS fp2, doc_id AS _d"
+        " FROM documents"
+    )
+    sqls["crawl_delta"] = U.crawl_delta_sql(
+        f"SELECT url, fp FROM ({_delta_base}) WHERE _d % 10 <> 2",
+        f"SELECT url, CASE WHEN _d % 10 = 5 THEN fp2 ELSE fp END AS fp"
+        f" FROM ({_delta_base}) WHERE _d % 10 <> 3",
     )
 
     sqls["weighted_sample"] = f"""

@@ -267,6 +267,28 @@ def main() -> None:
         print(f"WARN tokenizer telemetry failed: {str(ex)[:200]}",
               file=sys.stderr)
 
+    # Serving-tier telemetry (untimed region of the headline total, r5):
+    # per-op wall seconds for the result-page re-rankers — each consumes
+    # a top-50 BM25 pool, so their cost should stay flat as sf grows
+    # (pool-sized, not corpus-sized). A serving op drifting toward the
+    # corpus-sized queries above is a plan regression.
+    serving: dict[str, float] = {}
+    try:
+        SERVING_QUERIES = [
+            "snippets", "recency_topk", "host_collapse", "facets",
+            "page_after", "proximity_topk", "cooccur_pmi",
+            "weighted_sample",
+        ]
+        for name in SERVING_QUERIES:
+            qs[name](spark, warm_sf).count()  # steady-state
+        for name in SERVING_QUERIES:
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).count()
+            serving[name] = round(time.perf_counter() - t0, 3)
+    except Exception as ex:  # telemetry must never sink the bench
+        print(f"WARN serving telemetry failed: {str(ex)[:200]}",
+              file=sys.stderr)
+
     # index-build throughput over the deterministic synthetic web corpus
     from search_engine_spark.corpus import gen_pages_df
     from search_engine_spark.operators.indexer import build_index
@@ -299,6 +321,8 @@ def main() -> None:
         out["ann_recall@10"] = ann_recall
     if spell_serve:
         out["spell_serve"] = spell_serve
+    if serving:
+        out["serving"] = serving
     if tokenizer:
         out["tokenizer_pipeline"] = tokenizer
     if warm_failed:

@@ -158,3 +158,142 @@ SELECT min({docid})::BIGINT AS docid,
        {canonical_url_sql(url)} AS canonical_url
 FROM {table} GROUP BY 2
 """
+
+
+# ---------------------------------------------------------------------------
+# Per-domain quota cap (C4-style corpus balancing)
+# ---------------------------------------------------------------------------
+
+# bounded-skew salting for the two-level window (same construction as the
+# frontier politeness cap, frontier.py)
+CAP_SALT_BUCKETS = 64
+
+
+def domain_cap(
+    df: DataFrame,
+    cap: int,
+    url: str = "url",
+    key: str = "doc_id",
+) -> DataFrame:
+    """Keep at most ``cap`` documents per registered domain — the C4-style
+    corpus-balancing rule that stops a boilerplate-heavy megasite from
+    dominating the training mix.
+
+    Keep priority within a domain is HASH order on ``key`` (an unbiased
+    deterministic sample of the domain's docs, not "first crawled"), key
+    ascending as the tie-break. Skew-safe two-level window: level 1 caps
+    within (domain, key-hash salt) buckets so a 10^9-doc domain never
+    sends its whole row set to one window task; level 2's per-domain
+    window then sees ≤ CAP_SALT_BUCKETS·cap rows per domain.
+    Result-identical to the single global window (every globally-kept row
+    survives its own bucket's local cap); the SQL mirror keeps the
+    one-window form. Output: the input columns plus ``domain``.
+    """
+    from search_engine_spark.functions.hashing import md5_int
+
+    dom = registered_domain(url)
+    h = md5_int(F.col(key).cast("string"), seed="domaincap")
+    salt = F.pmod(F.xxhash64(F.col(key).cast("string")), F.lit(CAP_SALT_BUCKETS))
+    d = df.withColumn("domain", dom)
+    from pyspark.sql import Window
+
+    w1 = Window.partitionBy("domain", salt).orderBy(
+        h.asc(), F.col(key).asc()
+    )
+    w2 = Window.partitionBy("domain").orderBy(h.asc(), F.col(key).asc())
+    return (
+        d.withColumn("_rn1", F.row_number().over(w1))
+        .filter(F.col("_rn1") <= cap)
+        .withColumn("_rn2", F.row_number().over(w2))
+        .filter(F.col("_rn2") <= cap)
+        .drop("_rn1", "_rn2")
+    )
+
+
+def domain_cap_sql(
+    cap: int,
+    table: str = "documents",
+    url: str = "url",
+    key: str = "doc_id",
+    cols: str = "*",
+    extra_cte: str = "",
+) -> str:
+    """DuckDB mirror of :func:`domain_cap` (single-window form).
+    ``extra_cte`` prepends CTE definitions (e.g. a derived source table)
+    into the same WITH clause."""
+    from search_engine_spark.functions.hashing import md5_int_sql
+
+    h = md5_int_sql(f"CAST({key} AS VARCHAR)", seed="domaincap")
+    lead = f"{extra_cte}," if extra_cte else ""
+    return f"""
+WITH {lead} dc AS (
+  SELECT {cols}, {registered_domain_sql(url)} AS domain FROM {table}
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY domain ORDER BY {h} ASC, {key} ASC) AS rn
+  FROM dc
+)
+SELECT * EXCLUDE (rn) FROM ranked WHERE rn <= {cap}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Crawl snapshot delta (what changed between two crawls)
+# ---------------------------------------------------------------------------
+
+def crawl_delta(
+    old: DataFrame,
+    new: DataFrame,
+    key: str = "url",
+    fp: str = "fp",
+    include_unchanged: bool = False,
+) -> DataFrame:
+    """(url, change) between two crawl snapshots keyed by ``key`` with a
+    content fingerprint column ``fp``: ``added`` (url only in new),
+    ``removed`` (only in old), ``changed`` (both, fingerprint differs),
+    ``unchanged`` (dropped unless ``include_unchanged``).
+
+    The incremental-recrawl primitive: downstream passes (re-extract,
+    re-index, re-dedup) consume the delta instead of the full snapshot.
+    One co-partitioned full-outer join on the url key — at 10^12 pages
+    both sides are url-bucketed Iceberg tables, so the join is
+    shuffle-free on matching layouts; nothing here is order-dependent.
+    """
+    o = old.select(F.col(key).alias("url"), F.col(fp).alias("_fp_old"))
+    n = new.select(F.col(key).alias("url"), F.col(fp).alias("_fp_new"))
+    j = o.join(n, "url", "full_outer")
+    change = (
+        F.when(F.col("_fp_old").isNull(), F.lit("added"))
+        .when(F.col("_fp_new").isNull(), F.lit("removed"))
+        .when(F.col("_fp_old") != F.col("_fp_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    out = j.select("url", change.alias("change"))
+    if not include_unchanged:
+        out = out.filter(F.col("change") != "unchanged")
+    return out
+
+
+def crawl_delta_sql(
+    old_sql: str,
+    new_sql: str,
+    include_unchanged: bool = False,
+) -> str:
+    """DuckDB mirror of :func:`crawl_delta`; ``old_sql``/``new_sql`` are
+    complete SELECTs yielding (url, fp)."""
+    where = "" if include_unchanged else "WHERE change <> 'unchanged'"
+    return f"""
+WITH o AS ({old_sql}),
+n AS ({new_sql}),
+j AS (
+  SELECT coalesce(o.url, n.url) AS url, o.fp AS fp_old, n.fp AS fp_new
+  FROM o FULL OUTER JOIN n ON o.url = n.url
+)
+SELECT url,
+       CASE WHEN fp_old IS NULL THEN 'added'
+            WHEN fp_new IS NULL THEN 'removed'
+            WHEN fp_old <> fp_new THEN 'changed'
+            ELSE 'unchanged' END AS change
+FROM j {where}
+"""

@@ -256,3 +256,52 @@ def test_facet_counts_per_facet_topk(spark):
     got = {(r["facet"], r["value"], r["n"]) for r in rows}
     # k=1 per facet; ties break by value asc → a.com over b.com
     assert got == {("host", "a.com", 2), ("lang", "en", 3)}
+
+
+def test_domain_cap_two_level_equals_single_window(spark):
+    """The salted two-level cap must be row-identical to the naive single
+    global window, including on a skewed domain (one domain with 10x the
+    rows of the others)."""
+    from pyspark.sql import Window
+    from search_engine_spark.functions.hashing import md5_int
+    from search_engine_spark.operators.urls import domain_cap, registered_domain
+
+    rows = [(i, f"https://big.example.com/p{i}") for i in range(400)]
+    rows += [(1000 + i, f"https://s{i % 5}.other.org/p{i}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+
+    got = sorted(
+        (r["doc_id"], r["domain"])
+        for r in domain_cap(df, cap=15).collect()
+    )
+
+    h = md5_int(F.col("doc_id").cast("string"), seed="domaincap")
+    w = Window.partitionBy("domain").orderBy(h.asc(), F.col("doc_id").asc())
+    naive = (
+        df.withColumn("domain", registered_domain("url"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 15)
+    )
+    want = sorted((r["doc_id"], r["domain"]) for r in naive.collect())
+    assert got == want
+    # the skewed domain is actually capped
+    assert sum(1 for _, d in got if d == "example.com") == 15
+    assert sum(1 for _, d in got if d == "other.org") == 15
+
+
+def test_crawl_delta_states(spark):
+    from search_engine_spark.operators.urls import crawl_delta
+
+    old = spark.createDataFrame(
+        [("u1", "a"), ("u2", "b"), ("u3", "c")], "url string, fp string"
+    )
+    new = spark.createDataFrame(
+        [("u1", "a"), ("u2", "B"), ("u4", "d")], "url string, fp string"
+    )
+    got = {(r["url"], r["change"]) for r in crawl_delta(old, new).collect()}
+    assert got == {("u2", "changed"), ("u3", "removed"), ("u4", "added")}
+    full = {
+        (r["url"], r["change"])
+        for r in crawl_delta(old, new, include_unchanged=True).collect()
+    }
+    assert ("u1", "unchanged") in full and len(full) == 4

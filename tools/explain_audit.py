@@ -390,6 +390,69 @@ def main() -> None:
         ],
     )
 
+    # 14. serving tier (r5): re-rankers must stay pool-sized and JVM-side
+    audit(
+        "serving: query-aware snippets (snippets)",
+        qs["snippets"](spark, sf_dir),
+        [
+            ("documents scan prunes to doc_id,text",
+             lambda p: "ReadSchema" in p
+             and "struct<doc_id:bigint,text:string>" in p),
+            ("all built-ins — no Python eval anywhere",
+             lambda p: "BatchEvalPython" not in p
+             and "MapInPandas" not in p),
+            ("pool top-k is TakeOrderedAndProject (no global sort)",
+             lambda p: "TakeOrderedAndProject" in p),
+        ],
+    )
+    audit(
+        "serving: proximity re-rank (proximity_topk)",
+        qs["proximity_topk"](spark, sf_dir),
+        [
+            ("no cartesian product (span join is keyed on docid)",
+             lambda p: "CartesianProduct" not in p),
+            ("position explode stays JVM-side (Generate, no Python)",
+             lambda p: "Generate" in p and "BatchEvalPython" not in p),
+            ("span aggregation has map-side combine (partial_min)",
+             lambda p: "partial_min" in p),
+        ],
+    )
+    audit(
+        "serving: facets + host collapse (facets)",
+        qs["facets"](spark, sf_dir),
+        [
+            ("facet counts aggregate with map-side combine",
+             lambda p: "partial_count" in p),
+            ("per-facet top-k is one Window pass (row_number)",
+             lambda p: "Window" in p and "row_number" in p),
+            ("no Python eval",
+             lambda p: "BatchEvalPython" not in p),
+        ],
+    )
+    audit(
+        "serving: PMI related terms (cooccur_pmi)",
+        qs["cooccur_pmi"](spark, sf_dir),
+        [
+            ("corpus stats ride a broadcast (no stats shuffle)",
+             lambda p: "BroadcastExchange" in p),
+            ("presence counts have map-side combine",
+             lambda p: "partial_count" in p),
+            ("seed anchoring is a keyed join, never cartesian",
+             lambda p: "CartesianProduct" not in p),
+        ],
+    )
+    audit(
+        "serving: weighted training-mix sample (weighted_sample)",
+        qs["weighted_sample"](spark, sf_dir),
+        [
+            ("pure map-side filter: no Exchange in the final plan",
+             lambda p: "Exchange" not in p.split("== Initial Plan ==")[0]),
+            ("scan prunes to doc_id,n_chars",
+             lambda p: "ReadSchema" in p
+             and "struct<doc_id:bigint,n_chars:bigint>" in p),
+        ],
+    )
+
     out = ["# PLANS.md — physical-plan audit\n\n",
            f"Generated by tools/explain_audit.py over `{sf_dir}`.\n\n"]
     all_ok = True
