@@ -1767,6 +1767,92 @@ def q_weighted_sample(spark, sf_dir):
     return SMP.weighted_sample(docs, key="doc_id", weight=w)
 
 
+def _micro_str(c) -> F.Column:
+    """Exact integer-string image of a 6-dp-rounded double — the
+    hash-stable way to carry a float through a tagged-union suite row
+    (both engines round ties away from zero; upstream 6-dp rounding
+    means ties never actually occur at the 1e6 grid)."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.round(col * F.lit(1000000.0)).cast("long").cast("string")
+
+
+def q_sample_suite(spark, sf_dir):
+    """Driver row for the sampling family: flat hash-Bernoulli +
+    per-stratum downsampling, tagged by mode (schemas are identical;
+    the single-op variants stay in the extras registry)."""
+    a = q_sample_bernoulli(spark, sf_dir).withColumn(
+        "mode", F.lit("bernoulli")
+    )
+    b = q_sample_stratified(spark, sf_dir).withColumn(
+        "mode", F.lit("stratified")
+    )
+    return a.unionByName(b).select("mode", "doc_id", "lang", "n_chars")
+
+
+def q_serving_suite(spark, sf_dir):
+    """Driver row carrying ALL ten round-5 families — serving tier
+    (snippets, recency, host collapse, pagination, proximity, facets),
+    related-searches PMI, crawl delta, domain cap, weighted sampling —
+    normalized to one tagged (method, docid, val) schema so every family
+    is value-checked by the driver's own gate (the single-op variants
+    stay in the extras registry with their natural schemas)."""
+    null_id = F.lit(None).cast("long").alias("docid")
+    parts = [
+        q_snippets(spark, sf_dir).select(
+            F.lit("snippet").alias("method"), "docid",
+            F.col("snippet").alias("val"),
+        ),
+        q_recency_topk(spark, sf_dir).select(
+            F.lit("recency").alias("method"), "docid",
+            _micro_str("fscore").alias("val"),
+        ),
+        q_host_collapse(spark, sf_dir).select(
+            F.lit("host").alias("method"), "docid",
+            F.col("host").alias("val"),
+        ),
+        q_page_after(spark, sf_dir).select(
+            F.lit("page").alias("method"), "docid",
+            _micro_str("score").alias("val"),
+        ),
+        q_proximity_topk(spark, sf_dir).select(
+            F.lit("prox").alias("method"), "docid",
+            F.concat(
+                _micro_str("pscore"), F.lit(":"),
+                F.coalesce(F.col("minspan").cast("string"), F.lit("-")),
+            ).alias("val"),
+        ),
+        q_facets(spark, sf_dir).select(
+            F.lit("facet").alias("method"), null_id,
+            F.concat(
+                "facet", F.lit("="), "value", F.lit(":"),
+                F.col("n").cast("string"),
+            ).alias("val"),
+        ),
+        q_cooccur_pmi(spark, sf_dir).select(
+            F.lit("related").alias("method"), null_id,
+            F.concat("term", F.lit(":"), _micro_str("pmi")).alias("val"),
+        ),
+        q_crawl_delta(spark, sf_dir).select(
+            F.lit("delta").alias("method"), null_id,
+            F.concat("url", F.lit(" "), "change").alias("val"),
+        ),
+        q_domain_cap(spark, sf_dir).select(
+            F.lit("cap").alias("method"),
+            F.col("doc_id").alias("docid"),
+            F.col("domain").alias("val"),
+        ),
+        q_weighted_sample(spark, sf_dir).select(
+            F.lit("wsample").alias("method"),
+            F.col("doc_id").alias("docid"),
+            F.col("n_chars").cast("string").alias("val"),
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 DOMAIN_CAP = 20
 
 
@@ -1842,8 +1928,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fold_global": q_fold_global,
         "distinct_flags": q_distinct_flags,
         "take_ordered": q_take_ordered,
-        "sample_bernoulli": q_sample_bernoulli,
-        "sample_stratified": q_sample_stratified,
+        "sample_suite": q_sample_suite,  # bernoulli + stratified (r5)
+        "serving_suite": q_serving_suite,  # ALL ten r5 families, tagged (r5)
         "union_merge": q_union_merge,
         "intersection": q_intersection,
         "tpch_pricing": q_tpch_pricing,
@@ -1942,6 +2028,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_after": q_page_after,  # serving tier (r5)
         "proximity_topk": q_proximity_topk,  # serving tier (r5)
         "domain_cap": q_domain_cap,  # C4 corpus balancing (r5)
+        "sample_bernoulli": q_sample_bernoulli,  # folded into sample_suite
+        "sample_stratified": q_sample_stratified,  # folded into sample_suite
         "crawl_delta": q_crawl_delta,  # incremental recrawl (r5)
     }
 
@@ -3193,6 +3281,13 @@ JOIN msdocs m ON h.docid = m.doc_id
 
     sqls["cooccur_pmi"] = TS.cooccur_pmi_sql(PMI_SEED, min_df=2, k=20)
 
+    sqls["weighted_sample"] = f"""
+SELECT doc_id, n_chars FROM documents
+WHERE {SMP.weighted_sample_sql(
+        "doc_id", "least(n_chars, 2000) / 2000.0"
+    )}
+"""
+
     _attr_pool_sql = f"""
 WITH {_MESSY_URL_SQL}
 SELECT h.docid, {U.url_host_sql('m.url')} AS host, m.lang, h.score
@@ -3235,11 +3330,37 @@ ORDER BY score DESC, docid ASC
         f" FROM ({_delta_base}) WHERE _d % 10 <> 3",
     )
 
-    sqls["weighted_sample"] = f"""
-SELECT doc_id, n_chars FROM documents
-WHERE {SMP.weighted_sample_sql(
-        "doc_id", "least(n_chars, 2000) / 2000.0"
-    )}
+    sqls["sample_suite"] = f"""
+SELECT 'bernoulli' AS mode, * FROM ({sqls["sample_bernoulli"]})
+UNION ALL
+SELECT 'stratified' AS mode, * FROM ({sqls["sample_stratified"]})
+"""
+
+    def _mi(expr: str) -> str:
+        # DuckDB mirror of _micro_str (see the Spark side for why this
+        # is tie-safe)
+        return f"CAST(round(({expr}) * 1000000.0) AS BIGINT)::VARCHAR"
+
+    sqls["serving_suite"] = f"""
+SELECT 'snippet' AS method, docid::BIGINT AS docid, snippet AS val
+FROM ({sqls["snippets"]})
+UNION ALL SELECT 'recency', docid, {_mi("fscore")}
+FROM ({sqls["recency_topk"]})
+UNION ALL SELECT 'host', docid, host FROM ({sqls["host_collapse"]})
+UNION ALL SELECT 'page', docid, {_mi("score")} FROM ({sqls["page_after"]})
+UNION ALL SELECT 'prox', docid,
+  {_mi("pscore")} || ':' || coalesce(minspan::VARCHAR, '-')
+FROM ({sqls["proximity_topk"]})
+UNION ALL SELECT 'facet', NULL::BIGINT,
+  facet || '=' || value || ':' || n::VARCHAR
+FROM ({sqls["facets"]})
+UNION ALL SELECT 'related', NULL, term || ':' || {_mi("pmi")}
+FROM ({sqls["cooccur_pmi"]})
+UNION ALL SELECT 'delta', NULL, url || ' ' || change
+FROM ({sqls["crawl_delta"]})
+UNION ALL SELECT 'cap', doc_id, domain FROM ({sqls["domain_cap"]})
+UNION ALL SELECT 'wsample', doc_id, n_chars::VARCHAR
+FROM ({sqls["weighted_sample"]})
 """
 
     return sqls
