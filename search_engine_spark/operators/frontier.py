@@ -208,10 +208,21 @@ def frontier_step(
     links = pages.select(
         F.col(url).alias("src"), F.explode(outlinks_col(h)).alias("dst")
     ).filter(F.col("src") != F.col("dst"))
+    # explode(array(expr)) is a deliberate PUSHDOWN BARRIER: the scheme/
+    # extension/blacklist filters below would otherwise be pushed through
+    # the Project and re-substitute the whole canonicalize∘resolve regex
+    # chain into every predicate (the r4 plan showed 161 regexp_replace
+    # occurrences — the chain re-derived once per filter per harvested
+    # link). Filters cannot cross a Generate's own output, so the chain
+    # evaluates exactly once per link and the predicates test the
+    # materialized string. Measured at sf0.1: 4.11 s → 1.92 s best-of-3,
+    # rows identical. Laziness is preserved (no checkpoint, no cache).
     cand = (
         links.select(
-            canonical_url(
-                resolve_href(F.col("src"), F.col("dst"))
+            F.explode(
+                F.array(
+                    canonical_url(resolve_href(F.col("src"), F.col("dst")))
+                )
             ).alias("url")
         )
         .filter(F.col("url").rlike(r"^https?://"))
