@@ -453,6 +453,48 @@ def main() -> None:
         ],
     )
 
+    # 15. corpus balancing + incremental recrawl (r5)
+    audit(
+        "domain cap (domain_cap, skew-safe two-level window)",
+        qs["domain_cap"](spark, sf_dir),
+        [
+            ("both windows partitioned (no single-partition exchange)",
+             lambda p: "Exchange SinglePartition" not in
+             p.split("== Initial Plan ==")[0]),
+            ("two row_number windows (salted level 1 + exact level 2)",
+             lambda p: p.count("row_number") >= 2),
+            ("no Python eval",
+             lambda p: "BatchEvalPython" not in p),
+        ],
+    )
+    audit(
+        "crawl snapshot delta (crawl_delta)",
+        qs["crawl_delta"](spark, sf_dir),
+        [
+            ("one keyed full-outer join, no cartesian",
+             lambda p: "CartesianProduct" not in p
+             and ("FullOuter" in p or "full_outer" in p.lower())),
+            ("no Python eval",
+             lambda p: "BatchEvalPython" not in p),
+        ],
+    )
+    # 16. frontier harvest barrier (r5): the canonicalize∘resolve chain
+    # must evaluate ONCE per link — if pushdown ever re-substitutes it
+    # into the predicates again, the regexp_replace count explodes back
+    # toward the pre-fix 161 and this check fails loudly.
+    audit(
+        "frontier harvest (pushdown barrier holds)",
+        qs["frontier"](spark, sf_dir),
+        [
+            ("canonical chain not re-substituted into predicates "
+             "(regexp_replace count stays bounded)",
+             lambda p: p.split("== Initial Plan ==")[0]
+             .count("regexp_replace") <= 60),
+            ("harvest explode is a Generate (barrier in place)",
+             lambda p: "Generate explode" in p),
+        ],
+    )
+
     out = ["# PLANS.md — physical-plan audit\n\n",
            f"Generated by tools/explain_audit.py over `{sf_dir}`.\n\n"]
     all_ok = True
