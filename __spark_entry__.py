@@ -1853,6 +1853,20 @@ def q_serving_suite(spark, sf_dir):
     return out
 
 
+def q_topk_deletes(spark, sf_dir):
+    """Tombstone-masked BM25 top-k: the block index queried as if the
+    deleted docs (doc_id % 7 == 3) were never indexed — live df/n_docs/
+    avgdl, Lucene-style deletes without segment rewrites. Oracle = plain
+    BM25 over the surviving corpus (rebuild-equivalence)."""
+    idx = _cached_index(spark, sf_dir)
+    deleted = _docs(spark, sf_dir).filter(
+        F.col("doc_id") % 7 == 3
+    ).select("doc_id")
+    return IQ.topk_with_deletes(
+        idx, deleted, "spark table join", k=20, decimals=6
+    )
+
+
 DOMAIN_CAP = 20
 
 
@@ -2031,6 +2045,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_bernoulli": q_sample_bernoulli,  # folded into sample_suite
         "sample_stratified": q_sample_stratified,  # folded into sample_suite
         "crawl_delta": q_crawl_delta,  # incremental recrawl (r5)
+        "topk_deletes": q_topk_deletes,  # tombstone-masked query (r5)
     }
 
 
@@ -3328,6 +3343,10 @@ ORDER BY score DESC, docid ASC
         f"SELECT url, fp FROM ({_delta_base}) WHERE _d % 10 <> 2",
         f"SELECT url, CASE WHEN _d % 10 = 5 THEN fp2 ELSE fp END AS fp"
         f" FROM ({_delta_base}) WHERE _d % 10 <> 3",
+    )
+
+    sqls["topk_deletes"] = T.bm25_topk_sql_oracle(
+        "spark table join", k=20, where="doc_id % 7 <> 3"
     )
 
     sqls["sample_suite"] = f"""

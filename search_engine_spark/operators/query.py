@@ -179,6 +179,80 @@ def topk_distributed(
     return scored.orderBy(F.col("score").desc(), F.col("docid").asc()).limit(k)
 
 
+def topk_with_deletes(
+    index: Index,
+    deleted: DataFrame,
+    query: str,
+    k: int = 100,
+    decimals: int = SCORE_ROUND,
+) -> DataFrame:
+    """Tombstone-masked top-k: query the index as if the docids in
+    ``deleted`` (1-column DataFrame) had never been indexed. Results AND
+    ranking statistics (per-term df, n_docs, avgdl) reflect only live
+    documents — pytest proves the output identical to rebuilding the
+    index from scratch over the survivors.
+
+    This is Lucene-style delete semantics without segment rewrites, the
+    piece that completes index maintenance around the incremental indexer
+    (streaming/indexing.py) and ``crawl_delta``: added/changed pages →
+    new segment; removed/changed pages → tombstones; segments compact on
+    the indexer's own merge schedule. Cost over a plain query: one
+    anti-join of the decoded QUERY-TERM postings against the tombstone
+    set (never the full index) + one scalar stats adjustment (count and
+    dl-sum of tombstoned docs, a pruned broadcast-sized aggregate); the
+    postings/terms tables are untouched. Per-term idf is recomputed from
+    the LIVE df, so a term whose occurrences were all deleted simply
+    vanishes — exactly as a rebuild would have it.
+    """
+    from search_engine_spark.operators.text_ops import bm25_idf_col
+
+    terms = parse_query(query, stem=index.stats.get("stem", True))
+    spark = index.spark
+    if not terms:
+        return spark.createDataFrame([], "docid long, score double")
+    dele = (
+        deleted.select(
+            F.col(deleted.columns[0]).cast("long").alias("docid")
+        ).distinct()
+    )
+    # scalar stats adjustment: only tombstones that exist in THIS index
+    adj = (
+        index.docs.join(dele, "docid")
+        .agg(
+            F.count(F.lit(1)).alias("n_del"),
+            F.coalesce(F.sum("dl"), F.lit(0)).alias("dl_del"),
+        )
+        .collect()[0]
+    )
+    n_live = int(index.stats["n_docs"]) - int(adj["n_del"])
+    if n_live <= 0:
+        return spark.createDataFrame([], "docid long, score double")
+    sum_dl_live = (
+        float(index.stats["avgdl"]) * int(index.stats["n_docs"])
+        - float(adj["dl_del"])
+    )
+    avgdl_live = sum_dl_live / n_live
+
+    blocks = index.postings.filter(F.col("term").isin(terms)).select(
+        "term", "block", F.lit(0.0).alias("idf")  # idf joined post-mask
+    )
+    live = blocks.mapInPandas(
+        _decode_rows_idf_term,
+        schema="term string, docid long, tf long, dl long, idf double",
+    ).drop("idf").join(dele, "docid", "left_anti")
+    df_live = live.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    tstats = df_live.select(
+        "term", bm25_idf_col(n_live, F.col("df")).alias("idf")
+    )
+    scored = (
+        live.join(F.broadcast(tstats), "term")
+        .withColumn("part", _bm25_part_col(avgdl_live))
+        .groupBy("docid")
+        .agg(F.round(F.sum("part"), decimals).alias("score"))
+    )
+    return scored.orderBy(F.col("score").desc(), F.col("docid").asc()).limit(k)
+
+
 def _decode_rows_idf_term(
     batches: Iterator[pd.DataFrame],
 ) -> Iterator[pd.DataFrame]:
