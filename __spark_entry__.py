@@ -1571,6 +1571,23 @@ def q_pagerank(spark, sf_dir):
     )
 
 
+def q_hits(spark, sf_dir):
+    """HITS hubs & authorities (Kleinberg 1999) over the same synthetic
+    link graph as `pagerank` — the second query-independent link signal;
+    5 mutual-recurrence rounds, L1×N normalized, unrolled-CTE oracle."""
+    from search_engine_spark.operators import pagerank as PR
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    n = docs.count()
+    edges = PR.synthetic_edges(docs, n)
+    out = PR.hits(edges, nodes=docs, iters=5)
+    return out.select(
+        F.col("id").alias("docid"),
+        F.round("auth", 6).alias("auth"),
+        F.round("hub", 6).alias("hub"),
+    )
+
+
 def q_doc_signatures(spark, sf_dir):
     """Per-doc identity & size signature: rolling-hash fingerprint + BPE
     token estimate in one row (merges the r2 `fingerprint` and
@@ -2046,6 +2063,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,  # folded into sample_suite
         "crawl_delta": q_crawl_delta,  # incremental recrawl (r5)
         "topk_deletes": q_topk_deletes,  # tombstone-masked query (r5)
+        "hits": q_hits,  # hubs & authorities link signal (r5)
     }
 
 
@@ -3234,9 +3252,10 @@ UNION ALL
 SELECT 'ivf' AS method, vec_id, cos FROM ({sqls["ivf_topk"]})
 """
 
-    from search_engine_spark.operators.pagerank import pagerank_sql
+    from search_engine_spark.operators.pagerank import hits_sql, pagerank_sql
 
     sqls["pagerank"] = pagerank_sql(iters=10)
+    sqls["hits"] = hits_sql(iters=5)
 
     from search_engine_spark.functions.hashing import md5_int_sql
 

@@ -294,3 +294,136 @@ SELECT sc.docid AS docid,
 FROM sc JOIN pr ON sc.docid = pr.docid
 ORDER BY score DESC, sc.docid ASC LIMIT {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities (Kleinberg 1999) — the off-page companion signal
+# to PageRank over the same link graph
+# ---------------------------------------------------------------------------
+
+
+def hits(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    iters: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """(id, auth, hub) after ``iters`` HITS rounds (Kleinberg, JACM 1999).
+
+    The reference ships PageRank as its only link-analysis job
+    (jobs/PageRank.java); HITS is the standard second query-independent
+    signal over the SAME edge relation, so it reuses this module's graph
+    contract (``outlinks`` / ``synthetic_edges``).
+
+    Update per round (standard mutual recurrence):
+      ``auth(v) = Σ_{u→v} hub(u)``  then normalize,
+      ``hub(u)  = Σ_{u→v} auth(v)`` (the *current* round's auth) then
+      normalize. Normalization is L1 scaled by N (mean 1.0, like
+      PageRank's unnormalized ranks) — values stay O(1) so a 6-dp final
+      round is meaningful and the cross-engine double drift (~1e-13
+      after ``iters`` global sums) stays far inside it.
+
+    Scale shape: the edge table is pre-hash-partitioned TWICE up front —
+    once by ``src`` (auth step joins hubs on src) and once by ``dst``
+    (hub step joins auths on dst) — and both partitionings are reused by
+    every round, so each round is two co-partitioned joins + two keyed
+    aggs with map-side partial sums + two scalar aggs. No per-round
+    driver collect: the normalizer is a 1-row DataFrame cross-joined in
+    (broadcast of a scalar), keeping the whole loop one lazy plan
+    between checkpoints.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if nodes is None:
+        nodes = (
+            e.select(F.col("src").alias("id"))
+            .unionByName(e.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+    else:
+        nodes = nodes.select(F.col(nodes.columns[0]).alias("id"))
+    nodes = nodes.localCheckpoint()
+    n_nodes = nodes.count()
+    e_by_src = e.repartition("src").localCheckpoint()
+    e_by_dst = e.repartition("dst").localCheckpoint()
+
+    def _l1_scaled(df: DataFrame, col: str) -> DataFrame:
+        total = df.agg(F.sum(col).alias("_t"))
+        return df.crossJoin(F.broadcast(total)).select(
+            "id", (F.col(col) * F.lit(float(n_nodes)) / F.col("_t")).alias(col)
+        )
+
+    hub = nodes.withColumn("hub", F.lit(1.0))
+    auth = nodes.withColumn("auth", F.lit(1.0))
+    for it in range(1, iters + 1):
+        a_raw = (
+            e_by_src.join(hub, e_by_src["src"] == hub["id"])
+            .groupBy("dst")
+            .agg(F.sum("hub").alias("_m"))
+        )
+        auth = _l1_scaled(
+            nodes.join(a_raw, nodes["id"] == a_raw["dst"], "left").select(
+                "id", F.coalesce("_m", F.lit(0.0)).alias("auth")
+            ),
+            "auth",
+        )
+        h_raw = (
+            e_by_dst.join(auth, e_by_dst["dst"] == auth["id"])
+            .groupBy("src")
+            .agg(F.sum("auth").alias("_m"))
+        )
+        hub = _l1_scaled(
+            nodes.join(h_raw, nodes["id"] == h_raw["src"], "left").select(
+                "id", F.coalesce("_m", F.lit(0.0)).alias("hub")
+            ),
+            "hub",
+        )
+        if it % checkpoint_every == 0 and it < iters:
+            auth = auth.localCheckpoint()
+            hub = hub.localCheckpoint()
+    return auth.join(hub, "id")
+
+
+def hits_sql(
+    iters: int = 5, table: str = "documents", docid: str = "doc_id"
+) -> str:
+    """Full DuckDB mirror of :func:`hits` over :func:`synthetic_edges_sql`'s
+    edge relation — ``iters`` unrolled (auth-raw, auth-norm, hub-raw,
+    hub-norm) CTE quadruples, final 6-dp round."""
+    ctes = [
+        f"n AS MATERIALIZED (SELECT count(*) AS n FROM {table})",
+        f"edges AS MATERIALIZED ({synthetic_edges_sql(table, docid)})",
+        f"h0 AS MATERIALIZED (SELECT {docid}::BIGINT AS id, 1.0::DOUBLE AS hub FROM {table})",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""a{i}r AS MATERIALIZED (
+  SELECT d.{docid}::BIGINT AS id, coalesce(s._m, 0)::DOUBLE AS auth
+  FROM {table} d LEFT JOIN (
+    SELECT e.dst, sum(h.hub) AS _m
+    FROM edges e JOIN h{i - 1} h ON h.id = e.src GROUP BY e.dst) s
+  ON s.dst = d.{docid}::BIGINT)"""
+        )
+        ctes.append(
+            f"a{i} AS MATERIALIZED (SELECT id, auth * (SELECT n FROM n) / "
+            f"(SELECT sum(auth) FROM a{i}r) AS auth FROM a{i}r)"
+        )
+        ctes.append(
+            f"""h{i}r AS MATERIALIZED (
+  SELECT d.{docid}::BIGINT AS id, coalesce(s._m, 0)::DOUBLE AS hub
+  FROM {table} d LEFT JOIN (
+    SELECT e.src, sum(a.auth) AS _m
+    FROM edges e JOIN a{i} a ON a.id = e.dst GROUP BY e.src) s
+  ON s.src = d.{docid}::BIGINT)"""
+        )
+        ctes.append(
+            f"h{i} AS MATERIALIZED (SELECT id, hub * (SELECT n FROM n) / "
+            f"(SELECT sum(hub) FROM h{i}r) AS hub FROM h{i}r)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT a.id AS docid, round(a.auth, 6) AS auth, round(h.hub, 6) AS hub
+FROM a{iters} a JOIN h{iters} h ON a.id = h.id"""
+    )

@@ -109,3 +109,66 @@ def test_synthetic_edges_no_self_loops_no_dangling(spark):
     assert e.filter(F.col("src") == F.col("dst")).count() == 0
     assert e.select("src").distinct().count() == 97  # outdeg ≥ 1 everywhere
     assert e.count() <= 3 * 97
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities (Kleinberg 1999; operators/pagerank.py hits())
+# ---------------------------------------------------------------------------
+
+
+def _py_hits(edges, iters=5, nodes=None):
+    """Driver-side mirror: mutual recurrence with L1×N normalization,
+    hub step uses the CURRENT round's normalized auth."""
+    if nodes is None:
+        nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    n = len(nodes)
+    hub = {v: 1.0 for v in nodes}
+    auth = {v: 1.0 for v in nodes}
+    for _ in range(iters):
+        auth = {v: sum(hub[u] for u, w in edges if w == v) for v in nodes}
+        s = sum(auth.values())
+        auth = {v: a * n / s for v, a in auth.items()}
+        hub = {u: sum(auth[v] for x, v in edges if x == u) for u in nodes}
+        s = sum(hub.values())
+        hub = {u: h * n / s for u, h in hub.items()}
+    return auth, hub
+
+
+def test_hits_matches_python_mirror(spark):
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (3, 0), (1, 3), (4, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    rows = PR.hits(df, iters=5).collect()
+    want_a, want_h = _py_hits(edges, iters=5)
+    assert {r["id"]: r["auth"] for r in rows} == pytest.approx(
+        want_a, rel=1e-9
+    )
+    assert {r["id"]: r["hub"] for r in rows} == pytest.approx(
+        want_h, rel=1e-9
+    )
+
+
+def test_hits_normalization_and_hub_authority_split(spark):
+    # star: 0,1,2 all point at 9 — 9 is the pure authority (hub 0),
+    # the pointers are pure hubs (auth 0)
+    edges = [(0, 9), (1, 9), (2, 9)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    rows = PR.hits(df, iters=3).collect()
+    auth = {r["id"]: r["auth"] for r in rows}
+    hub = {r["id"]: r["hub"] for r in rows}
+    n = len(rows)
+    assert auth[9] == pytest.approx(n) and hub[9] == 0.0
+    for v in (0, 1, 2):
+        assert hub[v] == pytest.approx(n / 3) and auth[v] == 0.0
+    assert sum(auth.values()) == pytest.approx(n)
+    assert sum(hub.values()) == pytest.approx(n)
+
+
+def test_hits_fixed_nodes_universe(spark):
+    # isolated node 7 (in `nodes`, no edges) carries zero in both scores
+    edges = [(0, 1), (1, 0)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    nodes = spark.createDataFrame([(0,), (1,), (7,)], "id long")
+    rows = {r["id"]: r for r in PR.hits(df, nodes=nodes, iters=4).collect()}
+    assert set(rows) == {0, 1, 7}
+    assert rows[7]["auth"] == 0.0 and rows[7]["hub"] == 0.0
+    assert rows[0]["auth"] == pytest.approx(1.5)
