@@ -1571,6 +1571,14 @@ def q_pagerank(spark, sf_dir):
     )
 
 
+def q_dedup_spans(spark, sf_dir):
+    """Substring-level exact dedup (Lee et al. 2022 ExactSubstr, k-gram
+    re-expression): maximal non-first duplicated token spans across the
+    corpus — one level below `paragraph_dedup` (catches repeats that
+    cross paragraph boundaries or hide inside unique paragraphs)."""
+    return D.duplicate_spans(_docs(spark, sf_dir), k=8)
+
+
 def q_hits(spark, sf_dir):
     """HITS hubs & authorities (Kleinberg 1999) over the same synthetic
     link graph as `pagerank` — the second query-independent link signal;
@@ -2064,6 +2072,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_delta": q_crawl_delta,  # incremental recrawl (r5)
         "topk_deletes": q_topk_deletes,  # tombstone-masked query (r5)
         "hits": q_hits,  # hubs & authorities link signal (r5)
+        "dedup_spans": q_dedup_spans,  # Lee et al. ExactSubstr (r5)
     }
 
 
@@ -3256,6 +3265,10 @@ SELECT 'ivf' AS method, vec_id, cos FROM ({sqls["ivf_topk"]})
 
     sqls["pagerank"] = pagerank_sql(iters=10)
     sqls["hits"] = hits_sql(iters=5)
+
+    from search_engine_spark.operators.dedup import duplicate_spans_sql
+
+    sqls["dedup_spans"] = duplicate_spans_sql(k=8)
 
     from search_engine_spark.functions.hashing import md5_int_sql
 

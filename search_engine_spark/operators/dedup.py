@@ -189,6 +189,210 @@ LEFT JOIN rebuilt r ON r.docid = s.doc_id
 
 
 # ---------------------------------------------------------------------------
+# Substring-level exact dedup (duplicate spans)
+# ---------------------------------------------------------------------------
+
+
+def duplicate_spans(
+    df: DataFrame,
+    k: int = 8,
+    docid: str = "doc_id",
+    text: str = "text",
+    keep_first: bool = True,
+    key: str = "text",
+) -> DataFrame:
+    """(docid, span_start, span_end, n_tokens) — maximal token spans that
+    duplicate text elsewhere in the corpus, one level below
+    :func:`paragraph_dedup`: the ExactSubstr pass of Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better"), which
+    removes repeated spans that cross paragraph boundaries or sit inside
+    otherwise-unique paragraphs. Their suffix-array scan is a
+    shared-memory algorithm; the distributed re-expression is k-gram
+    keyed: a span of length L >= k duplicates iff all of its k-grams do,
+    so duplicated-k-gram occurrences, merged where they overlap or chain
+    (next_start <= prev_start + k), are exactly the maximal duplicated
+    spans at k-token resolution.
+
+    ``keep_first=True`` (the Lee et al. contract) exempts the corpus-FIRST
+    occurrence of each k-gram — lexicographic-min ``struct(docid, pos)``,
+    the same winner rule as :func:`paragraph_dedup` — so one copy of every
+    duplicated region survives removal. ``keep_first=False`` reports every
+    occurrence (the symmetric "show me all repeated regions" audit view).
+
+    ``key`` picks the shuffle key for the k-gram aggregation+join:
+    ``"text"`` (default, exact) carries the space-joined k-gram itself;
+    ``"hash"`` carries ``xxhash64(gram)`` — 8 bytes instead of ~k words,
+    the dominant exchange at 100 TB, identical output up to a ~2^-64
+    collision (pytest parity on the gate corpus).
+
+    Spans are 0-based inclusive token indices over the engine tokenizer's
+    token array. Shape at 100 TB: one gram-keyed hash aggregation with
+    map-side combine (a boilerplate k-gram repeated 10^9 times is ONE
+    group) + one co-partitioned join back on the gram key (AQE splits the
+    hot keys — the reason this is agg+join, not a count window), then one
+    docid-keyed window pass for the island merge."""
+    if key not in ("text", "hash"):
+        raise ValueError(
+            f"duplicate_spans: key must be 'text' or 'hash', got {key!r}"
+        )
+    d = F.col(docid)
+    toks = df.select(d.alias("docid"), tokens_col(text).alias("toks")).filter(
+        F.size("toks") >= k
+    )
+    grams = toks.select(
+        "docid",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - (k - 1)),
+                lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, k)),
+            )
+        ).alias("pos", "gram"),
+    )
+    gkey = F.xxhash64("gram") if key == "hash" else F.col("gram")
+    grams = grams.withColumn("gkey", gkey).select("docid", "pos", "gkey")
+    stats = (
+        grams.groupBy("gkey")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min(F.struct("docid", "pos")).alias("first"),
+        )
+        .filter(F.col("cnt") >= 2)
+    )
+    dups = grams.join(stats, "gkey")  # co-partitioned: both gkey-keyed
+    if keep_first:
+        dups = dups.filter(
+            (F.col("docid") != F.col("first.docid"))
+            | (F.col("pos") != F.col("first.pos"))
+        )
+    w = Window.partitionBy("docid").orderBy("pos")
+    isl = dups.select("docid", "pos").withColumn(
+        "brk",
+        F.when(F.col("pos") - F.lag("pos").over(w) <= k, F.lit(0)).otherwise(
+            F.lit(1)
+        ),
+    )
+    isl = isl.withColumn("island", F.sum("brk").over(w))
+    return (
+        isl.groupBy("docid", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).alias("span_end"),
+        )
+        .select(
+            "docid",
+            F.col("span_start").cast("long").alias("span_start"),
+            F.col("span_end").cast("long").alias("span_end"),
+            (F.col("span_end") - F.col("span_start") + 1)
+            .cast("long")
+            .alias("n_tokens"),
+        )
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    k: int = 8,
+    docid: str = "doc_id",
+    text: str = "text",
+    key: str = "text",
+    join_sep: str = " ",
+) -> DataFrame:
+    """(docid, clean_text, n_tokens, n_removed) — apply
+    :func:`duplicate_spans` (keep_first semantics): drop every token whose
+    0-based position falls inside a non-first duplicated span and rebuild
+    the doc from the survivors. Spans per doc are few, so the apply is a
+    docid equi-join + one higher-order array filter — no per-token
+    shuffle."""
+    toks = df.select(
+        F.col(docid).alias("docid"), tokens_col(text).alias("toks")
+    )
+    spans = (
+        duplicate_spans(
+            df, k=k, docid=docid, text=text, keep_first=True, key=key
+        )
+        .groupBy("docid")
+        .agg(
+            F.collect_list(F.struct("span_start", "span_end")).alias("spans")
+        )
+    )
+    kept = toks.join(spans, "docid", "left").withColumn(
+        "kept",
+        F.when(F.col("spans").isNull(), F.col("toks")).otherwise(
+            F.zip_with(
+                F.col("toks"),
+                F.sequence(F.lit(0), F.size("toks") - 1),
+                lambda t, i: F.when(
+                    F.exists(
+                        F.col("spans"),
+                        lambda s: (i >= s["span_start"])
+                        & (i <= s["span_end"]),
+                    ),
+                    F.lit(None),
+                ).otherwise(t),
+            )
+        ),
+    )
+    kept = kept.withColumn(
+        "kept", F.filter(F.col("kept"), lambda t: t.isNotNull())
+    )
+    return kept.select(
+        "docid",
+        F.concat_ws(join_sep, "kept").alias("clean_text"),
+        F.size("toks").cast("long").alias("n_tokens"),
+        (F.size("toks") - F.size("kept")).cast("long").alias("n_removed"),
+    )
+
+
+def duplicate_spans_sql(
+    k: int = 8,
+    keep_first: bool = True,
+    table: str = "documents",
+    docid: str = "doc_id",
+    text: str = "text",
+) -> str:
+    """DuckDB mirror of :func:`duplicate_spans` (key='text'); positions
+    converted to the same 0-based token indices."""
+    winner = "AND rn > 1" if keep_first else ""
+    return f"""
+WITH toks AS (
+  SELECT {docid} AS docid,
+         list_filter(string_split_regex(lower({text}), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM {table}
+),
+grams AS (
+  SELECT docid, g.i - 1 AS pos,
+         array_to_string(toks[g.i : g.i + {k - 1}], ' ') AS gram
+  FROM toks, unnest(generate_series(1, len(toks) - {k - 1})) AS g(i)
+  WHERE len(toks) >= {k}
+),
+marked AS (
+  SELECT docid, pos,
+         row_number() OVER (PARTITION BY gram ORDER BY docid, pos) AS rn,
+         count(*) OVER (PARTITION BY gram) AS cnt
+  FROM grams
+),
+dups AS (SELECT docid, pos FROM marked WHERE cnt >= 2 {winner}),
+isl AS (
+  SELECT docid, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY docid ORDER BY pos)
+                   <= {k} THEN 0 ELSE 1 END AS brk
+  FROM dups
+),
+isl2 AS (
+  SELECT docid, pos,
+         sum(brk) OVER (PARTITION BY docid ORDER BY pos) AS island
+  FROM isl
+)
+SELECT docid,
+       min(pos)::BIGINT AS span_start,
+       (max(pos) + {k - 1})::BIGINT AS span_end,
+       (max(pos) + {k} - min(pos))::BIGINT AS n_tokens
+FROM isl2 GROUP BY docid, island
+"""
+
+
+# ---------------------------------------------------------------------------
 # Shingling
 # ---------------------------------------------------------------------------
 

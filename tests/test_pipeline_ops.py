@@ -1343,3 +1343,112 @@ def test_paragraph_dedup_hash_key_parity(spark):
 
     with _pytest.raises(ValueError, match="key must be"):
         D.paragraph_dedup(docs, key="md5")
+
+
+# ---------------------------------------------------------------------------
+# Substring-level exact dedup — duplicate_spans / remove_duplicate_spans
+# (Lee et al. 2022 ExactSubstr; operators/dedup.py)
+# ---------------------------------------------------------------------------
+
+
+def test_duplicate_spans_first_occurrence_exempt_and_merge(spark):
+    """k=3 over a corpus where docs 0 and 1 share a 5-token run: the run's
+    three overlapping 3-grams merge into ONE maximal span in doc 1 only
+    (doc 0 is the corpus-first occurrence); a disjoint repeat later in the
+    same doc is a separate island."""
+    shared = "one two three four five"
+    rows = [
+        (0, f"{shared} zz yy"),
+        (1, f"aa bb {shared} cc dd ee ff {shared}"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        tuple(r) for r in D.duplicate_spans(docs, k=3).collect()
+    )
+    # doc 1 tokens: aa bb one two three four five cc dd ee ff one ...
+    #               0  1  2   3   4     5    6    7  8  9  10 11
+    assert got == [(1, 2, 6, 5), (1, 11, 15, 5)]
+
+    # keep_first=False reports the doc-0 occurrence too
+    all_spans = sorted(
+        tuple(r)
+        for r in D.duplicate_spans(docs, k=3, keep_first=False).collect()
+    )
+    assert (0, 0, 4, 5) in all_spans and len(all_spans) == 3
+
+
+def test_duplicate_spans_chaining_vs_gap(spark):
+    """Two duplicated k-grams chain into one span iff the second starts
+    within k tokens of the first (coverage overlaps or touches)."""
+    # 'p q r' duplicated at doc1 pos 0 and pos 3 (k=3: touching -> chain),
+    # and at pos 7 (gap of 1 unique token -> separate island)
+    rows = [
+        (0, "p q r"),
+        (1, "p q r p q r x p q r"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(tuple(r) for r in D.duplicate_spans(docs, k=3).collect())
+    assert got == [(1, 0, 5, 6), (1, 7, 9, 3)]
+
+
+def test_duplicate_spans_hash_key_parity_and_validation(spark):
+    rows = [
+        (i, f"header boiler plate line {'x ' * (i % 3)}tail token {i}")
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = sorted(tuple(r) for r in D.duplicate_spans(docs, k=4).collect())
+    hashed = sorted(
+        tuple(r)
+        for r in D.duplicate_spans(docs, k=4, key="hash").collect()
+    )
+    assert hashed == exact and len(exact) > 0
+    with pytest.raises(ValueError, match="key must be"):
+        D.duplicate_spans(docs, key="md5")
+
+
+def test_duplicate_spans_duckdb_mirror(spark):
+    """Spark vs duplicate_spans_sql on an in-memory corpus, both winner
+    modes."""
+    import duckdb
+    import pandas as pd
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta"),
+        (1, "xx alpha beta gamma delta epsilon zeta yy"),
+        (2, "alpha beta gamma delta epsilon zeta"),
+        (3, "totally unique words here only once"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    con = duckdb.connect()
+    con.register("sdocs", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    for keep_first in (True, False):
+        got = sorted(
+            tuple(r)
+            for r in D.duplicate_spans(
+                docs, k=4, keep_first=keep_first
+            ).collect()
+        )
+        sql = D.duplicate_spans_sql(k=4, keep_first=keep_first, table="sdocs")
+        want = sorted(tuple(r) for r in con.execute(sql).fetchall())
+        assert got == want and len(got) > 0
+
+
+def test_remove_duplicate_spans_rebuild(spark):
+    """The apply path drops exactly the non-first duplicated tokens and
+    rebuilds the survivors in order; a doc with no spans is untouched."""
+    shared = "one two three four five"
+    rows = [
+        (0, f"{shared} zz yy"),
+        (1, f"aa bb {shared} cc"),
+        (2, "fully unique document text body"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["docid"]: r.asDict()
+           for r in D.remove_duplicate_spans(docs, k=3).collect()}
+    assert got[0]["clean_text"] == "one two three four five zz yy"
+    assert got[0]["n_removed"] == 0
+    assert got[1]["clean_text"] == "aa bb cc"
+    assert got[1]["n_removed"] == 5 and got[1]["n_tokens"] == 8
+    assert got[2]["clean_text"] == "fully unique document text body"
+    assert got[2]["n_removed"] == 0
