@@ -785,12 +785,13 @@ def q_paragraph_dedup(spark, sf_dir):
 
 
 def q_dedup_exact_suite(spark, sf_dir):
-    """Document-level exact dedup + corpus-wide paragraph dedup in one
-    driver slot (r5 rotation of the r4 extras-only paragraph family into
-    the driver gate), tagged by ``method`` and normalized to a common
-    (key, payload, n1, n2) shape: 'doc' rows are (content_hash, '',
-    n_dupes, keep_docid), 'para' rows are (docid, clean_text, n_paras,
-    n_kept). Each half stays a standalone extras entry."""
+    """Document-level exact dedup + corpus-wide paragraph dedup +
+    substring-level duplicate spans in one driver slot (r5 rotation of
+    the extras-only families into the driver gate), tagged by ``method``
+    and normalized to a common (key, payload, n1, n2) shape: 'doc' rows
+    are (content_hash, '', n_dupes, keep_docid), 'para' rows are (docid,
+    clean_text, n_paras, n_kept), 'span' rows are (docid, '', span_start,
+    span_end). Each leg stays a standalone extras entry."""
     doc = q_dedup_exact(spark, sf_dir).select(
         F.lit("doc").alias("method"),
         F.col("content_hash").alias("key"),
@@ -805,7 +806,14 @@ def q_dedup_exact_suite(spark, sf_dir):
         F.col("n_paras").alias("n1"),
         F.col("n_kept").alias("n2"),
     )
-    return doc.unionByName(para)
+    span = q_dedup_spans(spark, sf_dir).select(
+        F.lit("span").alias("method"),
+        F.col("docid").cast("string").alias("key"),
+        F.lit("").alias("payload"),
+        F.col("span_start").alias("n1"),
+        F.col("span_end").alias("n2"),
+    )
+    return doc.unionByName(para).unionByName(span)
 
 
 def q_jaccard_both(spark, sf_dir):
@@ -1815,9 +1823,10 @@ def q_sample_suite(spark, sf_dir):
 
 
 def q_serving_suite(spark, sf_dir):
-    """Driver row carrying ALL ten round-5 families — serving tier
+    """Driver row carrying eleven round-5 families — serving tier
     (snippets, recency, host collapse, pagination, proximity, facets),
-    related-searches PMI, crawl delta, domain cap, weighted sampling —
+    related-searches PMI, crawl delta, domain cap, weighted sampling,
+    HITS hubs/authorities —
     normalized to one tagged (method, docid, val) schema so every family
     is value-checked by the driver's own gate (the single-op variants
     stay in the extras registry with their natural schemas)."""
@@ -1870,6 +1879,12 @@ def q_serving_suite(spark, sf_dir):
             F.lit("wsample").alias("method"),
             F.col("doc_id").alias("docid"),
             F.col("n_chars").cast("string").alias("val"),
+        ),
+        q_hits(spark, sf_dir).select(
+            F.lit("hits").alias("method"), "docid",
+            F.concat(
+                _micro_str("auth"), F.lit(":"), _micro_str("hub")
+            ).alias("val"),
         ),
     ]
     out = parts[0]
@@ -2735,6 +2750,10 @@ SELECT md5(text) AS content_hash, count(*) AS n_dupes, min(doc_id) AS keep_docid
 FROM documents GROUP BY md5(text)
 """
 
+    from search_engine_spark.operators.dedup import duplicate_spans_sql
+
+    sqls["dedup_spans"] = duplicate_spans_sql(k=8)
+
     sqls["dedup_exact_suite"] = f"""
 SELECT 'doc' AS method, content_hash AS key, '' AS payload,
        n_dupes::BIGINT AS n1, keep_docid::BIGINT AS n2
@@ -2743,6 +2762,10 @@ UNION ALL
 SELECT 'para' AS method, CAST(docid AS VARCHAR) AS key, clean_text AS payload,
        n_paras AS n1, n_kept AS n2
 FROM ({sqls["paragraph_dedup"]})
+UNION ALL
+SELECT 'span' AS method, CAST(docid AS VARCHAR) AS key, '' AS payload,
+       span_start AS n1, span_end AS n2
+FROM ({sqls["dedup_spans"]})
 """
 
     sqls["jaccard_pairs"] = f"""
@@ -3266,10 +3289,6 @@ SELECT 'ivf' AS method, vec_id, cos FROM ({sqls["ivf_topk"]})
     sqls["pagerank"] = pagerank_sql(iters=10)
     sqls["hits"] = hits_sql(iters=5)
 
-    from search_engine_spark.operators.dedup import duplicate_spans_sql
-
-    sqls["dedup_spans"] = duplicate_spans_sql(k=8)
-
     from search_engine_spark.functions.hashing import md5_int_sql
 
     sqls["contamination"] = f"""
@@ -3412,6 +3431,8 @@ FROM ({sqls["crawl_delta"]})
 UNION ALL SELECT 'cap', doc_id, domain FROM ({sqls["domain_cap"]})
 UNION ALL SELECT 'wsample', doc_id, n_chars::VARCHAR
 FROM ({sqls["weighted_sample"]})
+UNION ALL SELECT 'hits', docid, {_mi("auth")} || ':' || {_mi("hub")}
+FROM ({sqls["hits"]})
 """
 
     return sqls
