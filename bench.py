@@ -54,6 +54,8 @@ BENCH_QUERIES = [
     "curation_pipeline",
     "frontier",
     "lm_score",
+    "dedup_spans",  # r5: substring-level exact dedup
+    "hits",  # r5: hubs/authorities link signal
 ]
 
 

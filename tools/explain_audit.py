@@ -495,6 +495,32 @@ def main() -> None:
         ],
     )
 
+    # 17. duplicate spans (r5): the gram stats must be agg+join (map-side
+    # combine, AQE-splittable), never a count window over gram partitions
+    audit(
+        "duplicate spans (Lee et al. ExactSubstr)",
+        qs["dedup_spans"](spark, sf_dir),
+        [
+            ("gram stats via HashAggregate (map-side combine)",
+             lambda p: "HashAggregate" in p),
+            ("no gram-partition count window (only the docid island pass; "
+             "2 Window nodes, lag + running sum, same docid partitioning)",
+             lambda p: p.count(") Window") <= 2),
+            ("no Python eval", lambda p: "BatchEvalPython" not in p),
+        ],
+    )
+    # 18. HITS: per-round joins + aggs, scalar normalizer broadcast
+    audit(
+        "HITS hubs/authorities (5 rounds)",
+        qs["hits"](spark, sf_dir),
+        [
+            ("normalizer is a broadcast nested-loop of a 1-row agg",
+             lambda p: "BroadcastNestedLoopJoin" in p),
+            ("partial/final hash aggregation", lambda p: "HashAggregate" in p),
+            ("no cartesian product", lambda p: "CartesianProduct" not in p),
+        ],
+    )
+
     out = ["# PLANS.md — physical-plan audit\n\n",
            f"Generated by tools/explain_audit.py over `{sf_dir}`.\n\n"]
     all_ok = True
