@@ -1019,6 +1019,14 @@ def q_lm_score(spark, sf_dir):
     return TS.lm_score(_docs(spark, sf_dir))
 
 
+def q_lm_bigram(spark, sf_dir):
+    """Bigram stupid-backoff cross-entropy per doc (Brants et al. 2007 —
+    the map-reduce-native LM scoring scheme): first token by the add-one
+    unigram model, later tokens by ln(c(prev cur)/c(prev)) with
+    alpha*p_uni backoff, all integer micro-nats."""
+    return TS.lm_score_bigram(_docs(spark, sf_dir))
+
+
 def q_fingerprint(spark, sf_dir):
     return TS.fingerprint(_docs(spark, sf_dir))
 
@@ -2088,6 +2096,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_deletes": q_topk_deletes,  # tombstone-masked query (r5)
         "hits": q_hits,  # hubs & authorities link signal (r5)
         "dedup_spans": q_dedup_spans,  # Lee et al. ExactSubstr (r5)
+        "lm_bigram": q_lm_bigram,  # stupid-backoff bigram LM (r5)
     }
 
 
@@ -3150,6 +3159,45 @@ SELECT f.docid, count(*)::BIGINT AS n_tokens,
          AS avg_nats
 FROM flat f JOIN lp USING (term)
 GROUP BY f.docid
+"""
+
+    from search_engine_spark.operators.textstats import SB_ALPHA_MICRO
+
+    sqls["lm_bigram"] = f"""
+WITH {TOKS_CTE},
+flat AS (
+  SELECT docid, g.i AS pos, toks[g.i] AS term
+  FROM toks, unnest(generate_series(1, len(toks))) AS g(i)
+),
+tot AS (SELECT count(*) AS n, count(DISTINCT term) AS v FROM flat),
+lpu AS (
+  SELECT term, count(*) AS c1,
+         floor(ln((count(*) + 1.0) / (tot.n + tot.v)) * 1e6)::BIGINT AS lp_micro
+  FROM flat, tot GROUP BY term, tot.n, tot.v
+),
+bg AS (
+  SELECT a.term AS t1, b.term AS t2, count(*) AS c2
+  FROM flat a JOIN flat b ON b.docid = a.docid AND b.pos = a.pos + 1
+  GROUP BY a.term, b.term
+),
+lpb AS (
+  SELECT t1, t2, floor(ln(c2::DOUBLE / u.c1) * 1e6)::BIGINT AS lp2_micro
+  FROM bg JOIN lpu u ON u.term = bg.t1
+),
+scored AS (
+  SELECT f.docid,
+         CASE WHEN p.term IS NULL THEN u.lp_micro
+              ELSE coalesce(b.lp2_micro, {SB_ALPHA_MICRO} + u.lp_micro)
+         END AS lp
+  FROM flat f
+  JOIN lpu u ON u.term = f.term
+  LEFT JOIN flat p ON p.docid = f.docid AND p.pos = f.pos - 1
+  LEFT JOIN lpb b ON b.t1 = p.term AND b.t2 = f.term
+)
+SELECT docid, count(*)::BIGINT AS n_tokens,
+       sum(lp)::BIGINT AS nats_micro,
+       ((-(sum(lp)::BIGINT)) // count(*))::DOUBLE / 1000000.0 AS avg_nats
+FROM scored GROUP BY docid
 """
 
     sqls["cosine_near_pairs"] = """

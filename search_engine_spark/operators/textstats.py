@@ -700,6 +700,127 @@ def lm_score(
     )
 
 
+# Stupid-backoff weight alpha = 0.4 (Brants et al. 2007), pre-quantized to
+# integer micro-nats so the backoff branch stays in integer arithmetic:
+# floor(ln(0.4) * 1e6). A Python-side constant — both engines see the same
+# literal, no runtime float log.
+SB_ALPHA_MICRO = -916291
+
+
+def lm_bigram_table(
+    df: DataFrame, docid: str = "doc_id", text: str = "text"
+) -> DataFrame:
+    """(term1, term2, c2, lp2_micro) — corpus bigram model with
+    ``lp2 = ln(c(t1 t2) / c(t1))`` floor-quantized to integer micro-nats
+    (same quantization contract as :func:`lm_logprob_table`).
+
+    This is the seen-bigram half of stupid backoff (Brants et al. 2007,
+    "Large Language Models in Machine Translation" — a scoring scheme
+    designed precisely for distributed map-reduce LM estimation, which is
+    why it is the scale-correct choice here: no normalization pass, no
+    discount fitting, every quantity a count ratio). Unseen bigrams are
+    NOT in the table — scoring backs off to ``alpha * p_uni(t2)``.
+
+    Shape: one bigram-keyed agg (map-side combine) + one unigram-keyed
+    agg + a co-partitioned join on ``term1``."""
+    toks = df.select(tokens_col(text).alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    pairs = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("toks"), 1, F.size("toks") - 1),
+                F.slice(F.col("toks"), 2, F.size("toks") - 1),
+                lambda a, b: F.struct(a.alias("term1"), b.alias("term2")),
+            )
+        ).alias("bg")
+    ).select("bg.term1", "bg.term2")
+    c2 = pairs.groupBy("term1", "term2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = (
+        df.select(F.explode(tokens_col(text)).alias("term1"))
+        .groupBy("term1")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    return c2.join(c1, "term1").select(
+        "term1",
+        "term2",
+        "c2",
+        F.floor(F.log(F.col("c2") / F.col("c1")) * F.lit(LM_QUANT))
+        .cast("long")
+        .alias("lp2_micro"),
+    )
+
+
+def lm_score_bigram(
+    df: DataFrame,
+    docid: str = "doc_id",
+    text: str = "text",
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """(docid, n_tokens, nats_micro, avg_nats) — per-document bigram
+    stupid-backoff cross-entropy (Brants et al. 2007), the
+    sequence-aware upgrade of :func:`lm_score`'s unigram filter: word
+    salad with a plausible unigram mix scores well there but poorly here.
+
+    Every token is scored: the document's first token by the add-one
+    unigram model (:func:`lm_logprob_table`), each later token by
+    ``ln(c(prev cur)/c(prev))`` when the bigram was seen, else
+    ``ln(0.4) + lp_uni(cur)`` — all terms integer micro-nats, so the
+    per-doc sum is associative and bit-identical across engines; the
+    only floats are the per-DISTINCT-term/bigram quantizations.
+
+    Shape: one docid-keyed window (lag) for the previous token, one
+    broadcast join on the unigram vocab (``broadcast_vocab=False`` for a
+    shuffle join past executor memory), one shuffle join on the bigram
+    key, one docid-keyed agg."""
+    uni = lm_logprob_table(df, docid, text).select("term", "lp_micro")
+    if broadcast_vocab:
+        uni = F.broadcast(uni)
+    bg = lm_bigram_table(df, docid, text).select(
+        F.col("term1").alias("prev"),
+        F.col("term2").alias("term"),
+        "lp2_micro",
+    )
+    flat = df.select(
+        F.col(docid).alias("docid"),
+        F.posexplode(tokens_col(text)).alias("pos", "term"),
+    )
+    w = Window.partitionBy("docid").orderBy("pos")
+    scored = (
+        flat.withColumn("prev", F.lag("term").over(w))
+        .join(uni, "term")
+        .join(bg, ["prev", "term"], "left")
+        .select(
+            "docid",
+            F.when(F.col("prev").isNull(), F.col("lp_micro"))
+            .otherwise(
+                F.coalesce(
+                    "lp2_micro",
+                    F.lit(SB_ALPHA_MICRO) + F.col("lp_micro"),
+                )
+            )
+            .alias("lp"),
+        )
+    )
+    return (
+        scored.groupBy("docid")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("lp").alias("nats_micro"),
+        )
+        .select(
+            "docid",
+            "n_tokens",
+            "nats_micro",
+            # same exact-integer-division contract as lm_score
+            (
+                F.expr("(-nats_micro) div n_tokens").cast("double")
+                / F.lit(float(LM_QUANT))
+            ).alias("avg_nats"),
+        )
+    )
+
+
 # PII patterns — deliberately restricted to syntax that Java regex (Spark)
 # and RE2 (DuckDB) interpret identically: character classes, bounded
 # quantifiers, \b word boundaries; no lookaround, no backreferences.

@@ -1452,3 +1452,82 @@ def test_remove_duplicate_spans_rebuild(spark):
     assert got[1]["n_removed"] == 5 and got[1]["n_tokens"] == 8
     assert got[2]["clean_text"] == "fully unique document text body"
     assert got[2]["n_removed"] == 0
+
+
+# ---------------------------------------------------------------------------
+# Bigram stupid-backoff LM (Brants et al. 2007; operators/textstats.py)
+# ---------------------------------------------------------------------------
+
+
+def _py_stupid_backoff(rows, alpha_micro=TS.SB_ALPHA_MICRO):
+    """Driver-side mirror of lm_score_bigram: same tokenizer split, same
+    floor quantization, same backoff rule."""
+    import re
+
+    toks = {d: [t for t in re.split(r"[^a-z0-9]+", s.lower()) if t]
+            for d, s in rows}
+    flat = [t for ts in toks.values() for t in ts]
+    n, vocab = len(flat), sorted(set(flat))
+    v = len(vocab)
+    c1 = {t: flat.count(t) for t in vocab}
+    lpu = {t: math.floor(math.log((c + 1) / (n + v)) * 1e6)
+           for t, c in c1.items()}
+    c2 = {}
+    for ts in toks.values():
+        for a, b in zip(ts, ts[1:]):
+            c2[(a, b)] = c2.get((a, b), 0) + 1
+    lpb = {k: math.floor(math.log(c / c1[k[0]]) * 1e6)
+           for k, c in c2.items()}
+    out = {}
+    for d, ts in toks.items():
+        if not ts:
+            continue
+        nats = lpu[ts[0]]
+        for a, b in zip(ts, ts[1:]):
+            nats += lpb.get((a, b), alpha_micro + lpu[b])
+        out[d] = (len(ts), nats, ((-nats) // len(ts)) / 1e6)
+    return out
+
+
+def test_lm_bigram_matches_python_mirror(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown cat sleeps"),
+        (2, "quick the"),          # seen terms, unseen bigrams -> backoff
+        (3, "lonely"),             # single token -> unigram only
+        (4, "the quick brown fox"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["docid"]: (r["n_tokens"], r["nats_micro"], r["avg_nats"])
+           for r in TS.lm_score_bigram(df).collect()}
+    want = _py_stupid_backoff(rows)
+    assert got == want
+
+
+def test_lm_bigram_sequence_sensitivity(spark):
+    """The point of the bigram upgrade: a scrambled doc with the SAME
+    unigram mix scores strictly worse (higher avg_nats) than the doc in
+    the corpus-dominant order, while unigram lm_score ties them."""
+    rows = [(i, "alpha beta gamma delta") for i in range(6)] + [
+        (6, "delta gamma beta alpha")
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uni = {r["docid"]: r["avg_nats"] for r in TS.lm_score(df).collect()}
+    assert uni[0] == uni[6]
+    bg = {r["docid"]: r["avg_nats"]
+          for r in TS.lm_score_bigram(df).collect()}
+    assert bg[6] > bg[0]
+
+
+def test_lm_bigram_table_counts(spark):
+    df = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a b c")], "doc_id long, text string"
+    )
+    tbl = {(r["term1"], r["term2"]): (r["c2"], r["lp2_micro"])
+           for r in TS.lm_bigram_table(df).collect()}
+    # c("a b")=3, c(a)=3 -> lp = floor(ln(1)*1e6) = 0
+    assert tbl[("a", "b")] == (3, 0)
+    # c("b a")=1, c(b)=3
+    assert tbl[("b", "a")] == (1, math.floor(math.log(1 / 3) * 1e6))
+    assert tbl[("b", "c")] == (1, math.floor(math.log(1 / 3) * 1e6))
+    assert ("c", "a") not in tbl and len(tbl) == 3
