@@ -1019,6 +1019,14 @@ def q_lm_score(spark, sf_dir):
     return TS.lm_score(_docs(spark, sf_dir))
 
 
+def q_gopher_filter(spark, sf_dir):
+    """Gopher rule-based document filter (Rae et al. 2021 Appendix A):
+    the seven classic word/line/symbol/stopword rules with per-doc
+    fail-reason tags — the standard pre-training quality gate one level
+    above the engine's weighted quality_score heuristic."""
+    return TS.gopher_filter(_docs(spark, sf_dir))
+
+
 def q_lm_bigram(spark, sf_dir):
     """Bigram stupid-backoff cross-entropy per doc (Brants et al. 2007 —
     the map-reduce-native LM scoring scheme): first token by the add-one
@@ -2097,6 +2105,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits": q_hits,  # hubs & authorities link signal (r5)
         "dedup_spans": q_dedup_spans,  # Lee et al. ExactSubstr (r5)
         "lm_bigram": q_lm_bigram,  # stupid-backoff bigram LM (r5)
+        "gopher_filter": q_gopher_filter,  # Gopher quality rules (r5)
     }
 
 
@@ -3161,7 +3170,12 @@ FROM flat f JOIN lp USING (term)
 GROUP BY f.docid
 """
 
-    from search_engine_spark.operators.textstats import SB_ALPHA_MICRO
+    from search_engine_spark.operators.textstats import (
+        SB_ALPHA_MICRO,
+        gopher_filter_sql,
+    )
+
+    sqls["gopher_filter"] = gopher_filter_sql()
 
     sqls["lm_bigram"] = f"""
 WITH {TOKS_CTE},

@@ -700,6 +700,224 @@ def lm_score(
     )
 
 
+# Gopher quality-rule stopword probe (Rae et al. 2021 Appendix A: a doc
+# must contain at least 2 of these to pass the "contains common English
+# function words" rule).
+GOPHER_REQ_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_filter(
+    df: DataFrame,
+    docid: str = "doc_id",
+    text: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_len: float = 3.0,
+    max_mean_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    min_req_stops: int = 2,
+) -> DataFrame:
+    """(docid, n_words, mean_word_len, symbol_ratio, bullet_frac,
+    ellipsis_frac, alpha_frac, n_req_stops, passes, fail_reasons) — the
+    Gopher rule-based document filter (Rae et al. 2021, Appendix A;
+    the rule set C4's successors standardized on):
+
+    * word count in [min_words, max_words]            (``words``)
+    * mean word length in [min_mean_len, max_mean_len] (``mean_len``)
+    * '#'-or-'...' symbols per word <= max_symbol_ratio (``symbols``)
+    * lines starting with a bullet <= max_bullet_frac   (``bullets``)
+    * lines ending in an ellipsis <= max_ellipsis_frac  (``ellipsis``)
+    * words containing a letter >= min_alpha_frac       (``alpha``)
+    * >= min_req_stops of the 8 required stopwords      (``stops``)
+
+    ``fail_reasons`` is the comma-joined list of the rule tags above that
+    failed ('' when ``passes``). Words are WHITESPACE-split raw words
+    (the paper's definition), not engine tokens. All flags compare
+    unrounded doubles (identical IEEE arithmetic in both engines); the
+    reported ratios are 6-dp-rounded views. Docs with zero words are
+    excluded (no denominator — upstream length rules drop them anyway).
+
+    Plan shape: one narrow projection per doc, array built-ins only — no
+    explode, no shuffle, no Python. Embarrassingly parallel at any
+    scale."""
+    words = F.filter(
+        F.split(F.col(text), r"\s+"), lambda w: w != ""
+    )
+    lines = F.filter(
+        F.split(F.col(text), "\n"), lambda x: F.trim(x) != ""
+    )
+    base = df.select(
+        F.col(docid).alias("docid"),
+        F.size(words).alias("n_words"),
+        F.aggregate(
+            F.transform(words, lambda w: F.length(w).cast("long")),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias("char_sum"),
+        (
+            (F.length(text) - F.length(F.regexp_replace(text, "#", "")))
+            + (
+                F.length(text)
+                - F.length(F.replace(F.col(text), F.lit("...")))
+            )
+            / F.lit(3)
+        ).alias("n_symbols"),
+        F.size(lines).alias("n_lines"),
+        F.size(
+            F.filter(
+                lines,
+                lambda x: F.substring(F.ltrim(x), 1, 1).isin(
+                    "-", "*", "•"
+                ),
+            )
+        ).alias("n_bullet"),
+        F.size(
+            F.filter(
+                lines,
+                lambda x: F.rtrim(x).endswith("...")
+                | F.rtrim(x).endswith("…"),
+            )
+        ).alias("n_ellipsis"),
+        F.size(
+            F.filter(words, lambda w: w.rlike("[A-Za-z]"))
+        ).alias("n_alpha"),
+        F.aggregate(
+            F.array(*[F.lit(s) for s in GOPHER_REQ_STOPS]),
+            F.lit(0).cast("long"),
+            lambda a, s: a
+            + F.when(
+                F.array_contains(
+                    F.transform(words, lambda w: F.lower(w)), s
+                ),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .cast("long"),
+        ).alias("n_req_stops"),
+    ).filter(F.col("n_words") > 0)
+    mean_len = F.col("char_sum") / F.col("n_words")
+    symbol_ratio = F.col("n_symbols") / F.col("n_words")
+    bullet_frac = F.col("n_bullet") / F.col("n_lines")
+    ellipsis_frac = F.col("n_ellipsis") / F.col("n_lines")
+    alpha_frac = F.col("n_alpha") / F.col("n_words")
+    rules = [
+        (
+            "words",
+            (F.col("n_words") >= min_words)
+            & (F.col("n_words") <= max_words),
+        ),
+        ("mean_len", (mean_len >= min_mean_len) & (mean_len <= max_mean_len)),
+        ("symbols", symbol_ratio <= max_symbol_ratio),
+        ("bullets", bullet_frac <= max_bullet_frac),
+        ("ellipsis", ellipsis_frac <= max_ellipsis_frac),
+        ("alpha", alpha_frac >= min_alpha_frac),
+        ("stops", F.col("n_req_stops") >= min_req_stops),
+    ]
+    passes = rules[0][1]
+    for _, flag in rules[1:]:
+        passes = passes & flag
+    return base.select(
+        "docid",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.round(mean_len, Q_DECIMALS).alias("mean_word_len"),
+        F.round(symbol_ratio, Q_DECIMALS).alias("symbol_ratio"),
+        F.round(bullet_frac, Q_DECIMALS).alias("bullet_frac"),
+        F.round(ellipsis_frac, Q_DECIMALS).alias("ellipsis_frac"),
+        F.round(alpha_frac, Q_DECIMALS).alias("alpha_frac"),
+        F.col("n_req_stops").cast("long").alias("n_req_stops"),
+        passes.alias("passes"),
+        F.concat_ws(
+            ",",
+            *[
+                F.when(~flag, F.lit(tag)).otherwise(F.lit(None))
+                for tag, flag in rules
+            ],
+        ).alias("fail_reasons"),
+    )
+
+
+def gopher_filter_sql(
+    table: str = "documents",
+    docid: str = "doc_id",
+    text: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_len: float = 3.0,
+    max_mean_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    min_req_stops: int = 2,
+) -> str:
+    """DuckDB mirror of :func:`gopher_filter` (same raw-word/line
+    definitions, same unrounded-flag / rounded-view split)."""
+    stops_sum = " + ".join(
+        "CASE WHEN list_contains(list_transform(words, w -> lower(w)), "
+        f"'{s}') THEN 1 ELSE 0 END"
+        for s in GOPHER_REQ_STOPS
+    )
+    rules = [
+        ("words", f"(n_words >= {min_words} AND n_words <= {max_words})"),
+        (
+            "mean_len",
+            f"(char_sum / n_words >= {min_mean_len} "
+            f"AND char_sum / n_words <= {max_mean_len})",
+        ),
+        ("symbols", f"(n_symbols / n_words <= {max_symbol_ratio})"),
+        ("bullets", f"(n_bullet / n_lines <= {max_bullet_frac})"),
+        ("ellipsis", f"(n_ellipsis / n_lines <= {max_ellipsis_frac})"),
+        ("alpha", f"(n_alpha::DOUBLE / n_words >= {min_alpha_frac})"),
+        ("stops", f"(n_req_stops >= {min_req_stops})"),
+    ]
+    passes = " AND ".join(expr for _, expr in rules)
+    reasons = ", ".join(
+        f"CASE WHEN NOT {expr} THEN '{tag}' ELSE NULL END"
+        for tag, expr in rules
+    )
+    return f"""
+WITH base AS (
+  SELECT {docid} AS docid,
+         len(words)::BIGINT AS n_words,
+         list_sum(list_transform(words, w -> length(w)))::BIGINT AS char_sum,
+         ((length({text}) - length(replace({text}, '#', '')))
+          + (length({text}) - length(replace({text}, '...', ''))) / 3.0)
+           AS n_symbols,
+         len(lines)::BIGINT AS n_lines,
+         len(list_filter(lines,
+             x -> substr(ltrim(x), 1, 1) IN ('-', '*', '•')))::BIGINT
+           AS n_bullet,
+         len(list_filter(lines,
+             x -> ends_with(rtrim(x), '...') OR ends_with(rtrim(x), '…')
+             ))::BIGINT AS n_ellipsis,
+         len(list_filter(words,
+             w -> regexp_matches(w, '[A-Za-z]')))::BIGINT AS n_alpha,
+         ({stops_sum})::BIGINT AS n_req_stops
+  FROM (
+    SELECT {docid}, {text},
+           list_filter(string_split_regex({text}, '\\s+'), w -> w <> '')
+             AS words,
+           list_filter(string_split({text}, chr(10)), x -> trim(x) <> '')
+             AS lines
+    FROM {table})
+  WHERE len(words) > 0
+)
+SELECT docid, n_words,
+       round(char_sum / n_words, 6) AS mean_word_len,
+       round(n_symbols / n_words, 6) AS symbol_ratio,
+       round(n_bullet / n_lines, 6) AS bullet_frac,
+       round(n_ellipsis / n_lines, 6) AS ellipsis_frac,
+       round(n_alpha::DOUBLE / n_words, 6) AS alpha_frac,
+       n_req_stops,
+       ({passes}) AS passes,
+       coalesce(concat_ws(',', {reasons}), '') AS fail_reasons
+FROM base
+"""
+
+
 # Stupid-backoff weight alpha = 0.4 (Brants et al. 2007), pre-quantized to
 # integer micro-nats so the backoff branch stays in integer arithmetic:
 # floor(ln(0.4) * 1e6). A Python-side constant — both engines see the same

@@ -1531,3 +1531,56 @@ def test_lm_bigram_table_counts(spark):
     assert tbl[("b", "a")] == (1, math.floor(math.log(1 / 3) * 1e6))
     assert tbl[("b", "c")] == (1, math.floor(math.log(1 / 3) * 1e6))
     assert ("c", "a") not in tbl and len(tbl) == 3
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality-rule filter (Rae et al. 2021; operators/textstats.py)
+# ---------------------------------------------------------------------------
+
+
+def test_gopher_filter_rule_tags(spark):
+    """One crafted failure per rule; a clean doc passes with no reasons."""
+    good_words = ("the cat and dog have fun with that ball of yarn "
+                  "because they be playing outside today ") * 5  # 80 words
+    rows = [
+        (0, good_words),
+        (1, "the of and to"),                       # too few words
+        (2, "a " * 60 + "the of and be with"),      # mean len < 3
+        (3, good_words.replace("cat", "c#t#")),     # symbol ratio
+        (4, "\n".join("- " + good_words[:40] for _ in range(10))),  # bullets
+        (5, "\n".join(good_words[:40] + "..." for _ in range(10))),  # ellipsis
+        (6, good_words + " ".join("42" * 1 for _ in range(40))),    # alpha
+        (7, "zebra quagga okapi " * 20),             # no required stopwords
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["docid"]: r.asDict() for r in TS.gopher_filter(df).collect()}
+    assert got[0]["passes"] and got[0]["fail_reasons"] == ""
+    assert not got[1]["passes"] and "words" in got[1]["fail_reasons"]
+    assert "mean_len" in got[2]["fail_reasons"]
+    assert "symbols" in got[3]["fail_reasons"]
+    assert "bullets" in got[4]["fail_reasons"]
+    assert "ellipsis" in got[5]["fail_reasons"]
+    assert "alpha" in got[6]["fail_reasons"]
+    assert "stops" in got[7]["fail_reasons"]
+    assert got[7]["n_req_stops"] == 0 and got[0]["n_req_stops"] >= 2
+
+
+def test_gopher_filter_duckdb_mirror(spark):
+    import duckdb
+    import pandas as pd
+
+    rows = [
+        (0, "the cat and dog have fun with that ball " * 8),
+        (1, "- bullet one\n- bullet two\nthe real text of and with be"),
+        (2, "trailing thought...\nanother line...\nthe of and that"),
+        (3, "###### symbols everywhere ### the of and with " * 4),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(tuple(r) for r in TS.gopher_filter(df).collect())
+    con = duckdb.connect()
+    con.register("gdocs", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    want = sorted(
+        tuple(r)
+        for r in con.execute(TS.gopher_filter_sql(table="gdocs")).fetchall()
+    )
+    assert got == want
