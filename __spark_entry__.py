@@ -1019,6 +1019,24 @@ def q_lm_score(spark, sf_dir):
     return TS.lm_score(_docs(spark, sf_dir))
 
 
+def q_c4_clean(spark, sf_dir):
+    """C4 line-level cleaning (Raffel et al. 2020 §2.2): terminal-punct /
+    min-words / javascript line rules + lorem/brace/sentence-count doc
+    rules. The synthetic corpus is punctuation-free single-line text, so
+    the gate injects sentence structure deterministically in BOTH engines
+    ('batch' -> 'batch.\\n') to exercise keep and drop paths (23/500 kept
+    at sf0.01)."""
+    from search_engine_spark.operators.curation import c4_clean
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.replace(
+            F.col("text"), F.lit("batch"), F.lit("batch.\n")
+        ).alias("text"),
+    )
+    return c4_clean(docs)
+
+
 def q_gopher_filter(spark, sf_dir):
     """Gopher rule-based document filter (Rae et al. 2021 Appendix A):
     the seven classic word/line/symbol/stopword rules with per-doc
@@ -2106,6 +2124,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_spans": q_dedup_spans,  # Lee et al. ExactSubstr (r5)
         "lm_bigram": q_lm_bigram,  # stupid-backoff bigram LM (r5)
         "gopher_filter": q_gopher_filter,  # Gopher quality rules (r5)
+        "c4_clean": q_c4_clean,  # C4 line-level cleaning (r5)
     }
 
 
@@ -3176,6 +3195,13 @@ GROUP BY f.docid
     )
 
     sqls["gopher_filter"] = gopher_filter_sql()
+
+    from search_engine_spark.operators.curation import c4_clean_sql
+
+    sqls["c4_clean"] = c4_clean_sql(
+        table="(SELECT doc_id, replace(text, 'batch', 'batch.' || chr(10))"
+        " AS text FROM documents)"
+    )
 
     sqls["lm_bigram"] = f"""
 WITH {TOKS_CTE},

@@ -140,3 +140,141 @@ def write_release(
         json.dump(manifest, fh, indent=2, sort_keys=True)
     os.replace(tmp, os.path.join(out_dir, "_MANIFEST.json"))
     return manifest
+
+
+# ---------------------------------------------------------------------------
+# C4 line-level cleaning (Raffel et al. 2020, §2.2 heuristics)
+# ---------------------------------------------------------------------------
+
+C4_TERMINALS = (".", "!", "?", '"', "'")
+
+
+def c4_clean(
+    df: DataFrame,
+    docid: str = "doc_id",
+    text: str = "text",
+    min_line_words: int = 3,
+    min_sentences: int = 5,
+) -> DataFrame:
+    """(docid, clean_text, n_lines, n_kept_lines, n_sentences, kept,
+    drop_reason) — the C4 cleaning pass (Raffel et al. 2020, §2.2): the
+    LINE-level complement to the Gopher DOC-level rules
+    (:func:`textstats.gopher_filter`), applied by every C4-descended
+    webtext pipeline before dedup:
+
+    * keep only lines that end in terminal punctuation (. ! ? or a
+      closing quote) — drops navigation/menu fragments;
+    * drop lines with fewer than ``min_line_words`` words;
+    * drop lines containing the word "javascript" (enable-JS boilerplate);
+    * drop the whole doc if it contains "lorem ipsum" (placeholder text)
+      or a curly brace (source code), or if fewer than ``min_sentences``
+      sentences survive (sentence count = terminal-punctuation marks in
+      the cleaned text).
+
+    ``drop_reason`` is '' for kept docs, else the first matching tag of
+    ``lorem`` / ``brace`` / ``sentences``. The cross-corpus
+    three-sentence-span dedup that C4 runs AFTER this pass is
+    :func:`dedup.duplicate_spans` / :func:`dedup.paragraph_dedup` —
+    compose them.
+
+    Per-row array built-ins only — no explode, no shuffle, no Python;
+    embarrassingly parallel at any scale."""
+    t = F.col(text)
+    line_words = lambda x: F.size(  # noqa: E731
+        F.filter(F.split(x, r"\s+"), lambda w: w != "")
+    )
+    line_ok = lambda x: (  # noqa: E731
+        F.substring(F.rtrim(x), -1, 1).isin(*C4_TERMINALS)
+        & (line_words(x) >= min_line_words)
+        & ~F.contains(F.lower(x), F.lit("javascript"))
+    )
+    base = df.select(
+        F.col(docid).alias("docid"),
+        F.filter(
+            F.split(t, "\n"), lambda x: F.trim(x) != ""
+        ).alias("lines"),
+        F.contains(F.lower(t), F.lit("lorem ipsum")).alias("has_lorem"),
+        F.contains(t, F.lit("{")).alias("has_brace"),
+    ).select(
+        "docid",
+        F.size("lines").alias("n_lines"),
+        F.concat_ws(
+            "\n", F.filter(F.col("lines"), line_ok)
+        ).alias("clean_text"),
+        F.size(F.filter(F.col("lines"), line_ok)).alias("n_kept_lines"),
+        "has_lorem",
+        "has_brace",
+    )
+    n_sentences = (
+        F.length("clean_text")
+        - F.length(F.regexp_replace("clean_text", r"[.!?]", ""))
+    ).cast("long")
+    base = base.withColumn("n_sentences", n_sentences)
+    kept = (
+        ~F.col("has_lorem")
+        & ~F.col("has_brace")
+        & (F.col("n_sentences") >= min_sentences)
+    )
+    return base.select(
+        "docid",
+        "clean_text",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.col("n_kept_lines").cast("long").alias("n_kept_lines"),
+        "n_sentences",
+        kept.alias("kept"),
+        F.when(F.col("has_lorem"), F.lit("lorem"))
+        .when(F.col("has_brace"), F.lit("brace"))
+        .when(F.col("n_sentences") < min_sentences, F.lit("sentences"))
+        .otherwise(F.lit(""))
+        .alias("drop_reason"),
+    )
+
+
+def c4_clean_sql(
+    table: str = "documents",
+    docid: str = "doc_id",
+    text: str = "text",
+    min_line_words: int = 3,
+    min_sentences: int = 5,
+) -> str:
+    """DuckDB mirror of :func:`c4_clean`."""
+    terms = ", ".join(
+        "'" + c.replace("'", "''") + "'" for c in C4_TERMINALS
+    )
+    line_ok = (
+        f"x -> substr(rtrim(x), -1, 1) IN ({terms}) "
+        f"AND len(list_filter(string_split_regex(x, '\\s+'), w -> w <> ''))"
+        f" >= {min_line_words} "
+        f"AND NOT contains(lower(x), 'javascript')"
+    )
+    return f"""
+WITH base AS (
+  SELECT {docid} AS docid,
+         len(lines)::BIGINT AS n_lines,
+         coalesce(array_to_string(list_filter(lines, {line_ok}), chr(10)),
+                  '') AS clean_text,
+         len(list_filter(lines, {line_ok}))::BIGINT AS n_kept_lines,
+         contains(lower({text}), 'lorem ipsum') AS has_lorem,
+         contains({text}, '{{') AS has_brace
+  FROM (
+    SELECT {docid}, {text},
+           list_filter(string_split({text}, chr(10)), x -> trim(x) <> '')
+             AS lines
+    FROM {table})
+),
+sent AS (
+  SELECT *,
+         (length(clean_text)
+          - length(regexp_replace(clean_text, '[.!?]', '', 'g')))::BIGINT
+           AS n_sentences
+  FROM base
+)
+SELECT docid, clean_text, n_lines, n_kept_lines, n_sentences,
+       (NOT has_lorem AND NOT has_brace
+        AND n_sentences >= {min_sentences}) AS kept,
+       CASE WHEN has_lorem THEN 'lorem'
+            WHEN has_brace THEN 'brace'
+            WHEN n_sentences < {min_sentences} THEN 'sentences'
+            ELSE '' END AS drop_reason
+FROM sent
+"""

@@ -103,3 +103,59 @@ def test_write_release_checksum_is_layout_independent(spark, docs, tmp_path):
         docs.repartition(13), keep.repartition(7), str(tmp_path / "b")
     )
     assert m1 == m2  # partitioning/write order must not change the release
+
+
+# ---------------------------------------------------------------------------
+# C4 line-level cleaning (Raffel et al. 2020 §2.2; operators/curation.py)
+# ---------------------------------------------------------------------------
+
+
+def test_c4_clean_line_and_doc_rules(spark):
+    from search_engine_spark.operators.curation import c4_clean
+
+    good = "\n".join(
+        f"This is a complete factual sentence number {i}." for i in range(6)
+    )
+    rows = [
+        (0, good),
+        (1, good + "\nHome | About | Contact"),       # nav line dropped
+        (2, good + "\nPlease enable JavaScript now."),  # javascript line
+        (3, good + "\nShort one."),                    # <3 words dropped
+        (4, "Lorem ipsum dolor sit amet.\n" + good),   # doc: lorem
+        (5, good.replace("number 3", "number {3}")),   # doc: brace
+        (6, "Only two real sentences here. And the second one."),  # <5 sent
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["docid"]: r.asDict() for r in c4_clean(df).collect()}
+    assert got[0]["kept"] and got[0]["drop_reason"] == ""
+    assert got[0]["clean_text"] == good and got[0]["n_sentences"] == 6
+    assert got[1]["kept"] and got[1]["n_kept_lines"] == 6  # nav line gone
+    assert got[2]["kept"] and "JavaScript" not in got[2]["clean_text"]
+    assert got[3]["kept"] and got[3]["n_kept_lines"] == 6
+    assert not got[4]["kept"] and got[4]["drop_reason"] == "lorem"
+    assert not got[5]["kept"] and got[5]["drop_reason"] == "brace"
+    assert not got[6]["kept"] and got[6]["drop_reason"] == "sentences"
+
+
+def test_c4_clean_duckdb_mirror(spark):
+    import duckdb
+    import pandas as pd
+
+    from search_engine_spark.operators.curation import c4_clean, c4_clean_sql
+
+    rows = [
+        (0, "A good long sentence ends here.\nmenu item\nAnother one lands"
+            " fine!\nAnd more of them keep coming through now."
+            "\nFour sentences might not be enough yet?\nFinal full stop."),
+        (1, "all lines lack punctuation\nso nothing survives"),
+        (2, 'Quoted line ends well."\nThis braceless doc still needs '
+            "sentences. One. Two. Three. Four."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(tuple(r) for r in c4_clean(df).collect())
+    con = duckdb.connect()
+    con.register("cdocs", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    want = sorted(
+        tuple(r) for r in con.execute(c4_clean_sql(table="cdocs")).fetchall()
+    )
+    assert got == want
