@@ -1019,6 +1019,74 @@ def q_lm_score(spark, sf_dir):
     return TS.lm_score(_docs(spark, sf_dir))
 
 
+def _sitemap_docs(spark, sf_dir):
+    """documents + deterministic (url, xml) sitemap bodies: every 10th doc
+    a <sitemapindex> (two child sitemaps, one with lastmod), the rest
+    <urlset>s with a dated entry, a whitespace-padded <loc> (trim path),
+    and a loc-less chunk (malformed-drop path). Mirrored in SQL by
+    ``_SITEMAP_CTE``."""
+    d = F.col("doc_id")
+
+    def s(col):
+        return col.cast("string")
+
+    site = F.concat(F.lit("site"), s(d % 7), F.lit(".example"))
+    dd = F.lpad(s(d % 28 + 1), 2, "0")
+    urlset = F.concat(
+        F.lit('<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'),
+        F.lit("<url><loc>https://"), site, F.lit("/p/"), s((d * 3) % 501),
+        F.lit(".html</loc><lastmod>2026-01-"), dd,
+        F.lit("</lastmod></url>"),
+        F.lit("<url><loc>  https://"), site, F.lit("/q/"), s(d),
+        F.lit(".html  </loc></url>"),
+        F.lit("<url><priority>0.5</priority></url>"),
+        F.lit("</urlset>"),
+    )
+    index = F.concat(
+        F.lit("<sitemapindex><sitemap><loc>https://"), site, F.lit("/sm/"),
+        s(d), F.lit("-1.xml</loc><lastmod>2026-02-"), dd,
+        F.lit("</lastmod></sitemap><sitemap><loc>https://"), site,
+        F.lit("/sm/"), s(d), F.lit("-2.xml</loc></sitemap></sitemapindex>"),
+    )
+    return _docs(spark, sf_dir).select(
+        F.concat(
+            F.lit("https://"), site, F.lit("/sitemap"), s(d), F.lit(".xml")
+        ).alias("url"),
+        F.when(d % 10 == 0, index).otherwise(urlset).alias("xml"),
+    )
+
+
+_SITEMAP_CTE = """
+SELECT concat('https://site', (doc_id % 7)::VARCHAR, '.example/sitemap',
+              doc_id::VARCHAR, '.xml') AS url,
+       CASE WHEN doc_id % 10 = 0 THEN concat(
+         '<sitemapindex><sitemap><loc>https://site', (doc_id % 7)::VARCHAR,
+         '.example/sm/', doc_id::VARCHAR, '-1.xml</loc><lastmod>2026-02-',
+         lpad((doc_id % 28 + 1)::VARCHAR, 2, '0'),
+         '</lastmod></sitemap><sitemap><loc>https://site',
+         (doc_id % 7)::VARCHAR, '.example/sm/', doc_id::VARCHAR,
+         '-2.xml</loc></sitemap></sitemapindex>')
+       ELSE concat(
+         '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">',
+         '<url><loc>https://site', (doc_id % 7)::VARCHAR, '.example/p/',
+         ((doc_id * 3) % 501)::VARCHAR, '.html</loc><lastmod>2026-01-',
+         lpad((doc_id % 28 + 1)::VARCHAR, 2, '0'), '</lastmod></url>',
+         '<url><loc>  https://site', (doc_id % 7)::VARCHAR, '.example/q/',
+         doc_id::VARCHAR, '.html  </loc></url>',
+         '<url><priority>0.5</priority></url></urlset>')
+       END AS xml
+FROM documents
+"""
+
+
+def q_sitemap_parse(spark, sf_dir):
+    """Sitemaps.org parsing (urlset + sitemapindex, lastmod, loc trim,
+    malformed-entry drop) — the push-side frontier seed channel."""
+    from search_engine_spark.operators import frontier as FR
+
+    return FR.sitemap_entries(_sitemap_docs(spark, sf_dir))
+
+
 def q_c4_clean(spark, sf_dir):
     """C4 line-level cleaning (Raffel et al. 2020 §2.2): terminal-punct /
     min-words / javascript line rules + lorem/brace/sentence-count doc
@@ -2125,6 +2193,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_bigram": q_lm_bigram,  # stupid-backoff bigram LM (r5)
         "gopher_filter": q_gopher_filter,  # Gopher quality rules (r5)
         "c4_clean": q_c4_clean,  # C4 line-level cleaning (r5)
+        "sitemap_parse": q_sitemap_parse,  # sitemaps.org seed channel (r5)
     }
 
 
@@ -3197,6 +3266,10 @@ GROUP BY f.docid
     sqls["gopher_filter"] = gopher_filter_sql()
 
     from search_engine_spark.operators.curation import c4_clean_sql
+
+    from search_engine_spark.operators.frontier import sitemap_entries_sql
+
+    sqls["sitemap_parse"] = sitemap_entries_sql(_SITEMAP_CTE)
 
     sqls["c4_clean"] = c4_clean_sql(
         table="(SELECT doc_id, replace(text, 'batch', 'batch.' || chr(10))"

@@ -877,3 +877,82 @@ SELECT slotted.host, slotted.url, slot::BIGINT AS slot,
        round(slot * ({delay})::DOUBLE, 6)::DOUBLE AS not_before_s
 FROM slotted {join}
 """
+
+
+# ---------------------------------------------------------------------------
+# Sitemap parsing (sitemaps.org protocol) — the push-side frontier seed
+# ---------------------------------------------------------------------------
+
+_SITEMAP_LOC_RE = r"<loc>\s*([^<\s][^<]*?)\s*</loc>"
+_SITEMAP_LASTMOD_RE = r"<lastmod>\s*([^<]*?)\s*</lastmod>"
+
+
+def sitemap_entries(
+    sitemaps: DataFrame, url: str = "url", xml: str = "xml"
+) -> DataFrame:
+    """(src, kind, loc, lastmod) — parse sitemaps.org documents: the
+    crawl-seed channel the reference's pull-only crawler
+    (jobs/Crawler.java) lacks; at web scale most fresh URLs arrive via
+    sitemaps, not link discovery.
+
+    ``kind`` is ``'url'`` for a ``<urlset>`` page entry and ``'sitemap'``
+    for a ``<sitemapindex>`` child-sitemap entry (the caller recurses on
+    those — fetch is out of engine scope, same contract as the frontier's
+    network side). ``loc`` is whitespace-trimmed per the protocol;
+    ``lastmod`` is '' when absent (feeds :func:`crawl_delta` /
+    recrawl-scheduling when present).
+
+    JVM-regex split + per-chunk extracts over arrays — one narrow
+    projection, no Python, embarrassingly parallel. Malformed chunks
+    (no <loc>) drop out. Compose: ``sitemap_entries >> canonicalize >>
+    seen anti-join >> politeness cap`` is the push-side twin of
+    :func:`frontier_step`."""
+    x = F.col(xml)
+    kind = F.when(x.contains("<sitemapindex"), F.lit("sitemap")).when(
+        x.contains("<urlset"), F.lit("url")
+    )
+    chunks = F.split(x, "</url>|</sitemap>")
+    entries = F.filter(
+        F.transform(
+            chunks,
+            lambda c: F.struct(
+                F.regexp_extract(c, _SITEMAP_LOC_RE, 1).alias("loc"),
+                F.regexp_extract(c, _SITEMAP_LASTMOD_RE, 1).alias(
+                    "lastmod"
+                ),
+            ),
+        ),
+        lambda e: e["loc"] != "",
+    )
+    return (
+        sitemaps.select(
+            F.col(url).alias("src"),
+            kind.alias("kind"),
+            F.explode(entries).alias("e"),
+        )
+        .filter(F.col("kind").isNotNull())
+        .select("src", "kind", F.col("e.loc").alias("loc"),
+                F.col("e.lastmod").alias("lastmod"))
+    )
+
+
+def sitemap_entries_sql(sitemaps_cte: str) -> str:
+    """DuckDB mirror of :func:`sitemap_entries` over a CTE body yielding
+    (url, xml)."""
+    return f"""
+WITH sm AS ({sitemaps_cte}),
+chunks AS (
+  SELECT url AS src,
+         CASE WHEN contains(xml, '<sitemapindex') THEN 'sitemap'
+              WHEN contains(xml, '<urlset') THEN 'url' END AS kind,
+         c.chunk
+  FROM sm, unnest(string_split_regex(xml, '</url>|</sitemap>'))
+       AS c(chunk)
+)
+SELECT src, kind,
+       regexp_extract(chunk, '{_SITEMAP_LOC_RE}', 1) AS loc,
+       regexp_extract(chunk, '{_SITEMAP_LASTMOD_RE}', 1) AS lastmod
+FROM chunks
+WHERE kind IS NOT NULL
+  AND regexp_extract(chunk, '{_SITEMAP_LOC_RE}', 1) <> ''
+"""

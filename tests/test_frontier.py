@@ -428,3 +428,47 @@ def test_blacklist_pred_equals_regex_semantics(spark):
         "http://abc/mid/z", "http://exact.example/x",
         "http://site4.example/p/199", "http://x/file.pdf",
     }
+
+
+# ---------------------------------------------------------------------------
+# Sitemap parsing (sitemaps.org; operators/frontier.py sitemap_entries)
+# ---------------------------------------------------------------------------
+
+
+def test_sitemap_entries_urlset_index_trim_malformed(spark):
+    from search_engine_spark.operators.frontier import sitemap_entries
+
+    urlset = (
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        "<url><loc>https://a.example/1.html</loc>"
+        "<lastmod>2026-03-01</lastmod></url>"
+        "<url><loc>\n   https://a.example/2.html \n</loc></url>"
+        "<url><priority>0.9</priority></url>"
+        "</urlset>"
+    )
+    index = (
+        "<sitemapindex>"
+        "<sitemap><loc>https://a.example/sm1.xml</loc></sitemap>"
+        "<sitemap><loc>https://a.example/sm2.xml</loc>"
+        "<lastmod>2026-04-05</lastmod></sitemap>"
+        "</sitemapindex>"
+    )
+    df = spark.createDataFrame(
+        [
+            ("https://a.example/sitemap.xml", urlset),
+            ("https://a.example/sitemap_index.xml", index),
+            ("https://a.example/not-a-sitemap.xml", "<html>nope</html>"),
+        ],
+        "url string, xml string",
+    )
+    got = sorted(tuple(r) for r in sitemap_entries(df).collect())
+    assert got == [
+        ("https://a.example/sitemap.xml", "url",
+         "https://a.example/1.html", "2026-03-01"),
+        ("https://a.example/sitemap.xml", "url",
+         "https://a.example/2.html", ""),
+        ("https://a.example/sitemap_index.xml", "sitemap",
+         "https://a.example/sm1.xml", ""),
+        ("https://a.example/sitemap_index.xml", "sitemap",
+         "https://a.example/sm2.xml", "2026-04-05"),
+    ]
