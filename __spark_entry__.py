@@ -1681,6 +1681,37 @@ def q_pagerank(spark, sf_dir):
     )
 
 
+def q_host_rank(spark, sf_dir):
+    """Host-level PageRank: coarsen the doc link graph to hosts
+    (doc_id % 97) BEFORE iterating, then join the host prior back to
+    docs — the standard web-graph scale trick (the host graph is ~3
+    orders smaller than the page graph, so ten rounds over it cost less
+    than ONE round over pages) and the usual spam/authority prior."""
+    from search_engine_spark.operators import pagerank as PR
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    n = docs.count()
+    edges = PR.synthetic_edges(docs, n)
+    hedges = (
+        edges.select(
+            (F.col("src") % 97).alias("src"), (F.col("dst") % 97).alias("dst")
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    hosts = docs.select((F.col("doc_id") % 97).alias("id")).distinct()
+    ranks = PR.pagerank(hedges, nodes=hosts, iters=10)
+    return (
+        docs.select("doc_id", (F.col("doc_id") % 97).alias("host"))
+        .join(ranks, F.col("host") == F.col("id"))
+        .select(
+            F.col("doc_id").alias("docid"),
+            F.col("host").cast("long").alias("host"),
+            F.round("rank", 6).alias("host_rank"),
+        )
+    )
+
+
 def q_dedup_spans(spark, sf_dir):
     """Substring-level exact dedup (Lee et al. 2022 ExactSubstr, k-gram
     re-expression): maximal non-first duplicated token spans across the
@@ -2194,6 +2225,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_filter": q_gopher_filter,  # Gopher quality rules (r5)
         "c4_clean": q_c4_clean,  # C4 line-level cleaning (r5)
         "sitemap_parse": q_sitemap_parse,  # sitemaps.org seed channel (r5)
+        "host_rank": q_host_rank,  # host-coarsened PageRank prior (r5)
     }
 
 
@@ -3449,6 +3481,24 @@ SELECT 'ivf' AS method, vec_id, cos FROM ({sqls["ivf_topk"]})
 
     sqls["pagerank"] = pagerank_sql(iters=10)
     sqls["hits"] = hits_sql(iters=5)
+
+    from search_engine_spark.operators.pagerank import synthetic_edges_sql
+
+    _host_pr = pagerank_sql(
+        iters=10,
+        edges_cte=(
+            "SELECT DISTINCT src % 97 AS src, dst % 97 AS dst FROM ("
+            + synthetic_edges_sql()
+            + ") WHERE src % 97 <> dst % 97"
+        ),
+        nodes_cte="SELECT DISTINCT doc_id::BIGINT % 97 AS id FROM documents",
+    )
+    sqls["host_rank"] = f"""
+SELECT d.doc_id AS docid, (d.doc_id::BIGINT % 97) AS host,
+       hr.rank AS host_rank
+FROM documents d
+JOIN ({_host_pr}) hr ON hr.docid = d.doc_id::BIGINT % 97
+"""
 
     from search_engine_spark.functions.hashing import md5_int_sql
 

@@ -208,25 +208,34 @@ def synthetic_edges_sql(table: str = "documents", docid: str = "doc_id") -> str:
 def pagerank_sql(
     iters: int = 10, damping: float = DAMPING, table: str = "documents",
     docid: str = "doc_id",
+    edges_cte: str | None = None,
+    nodes_cte: str | None = None,
 ) -> str:
     """Full DuckDB mirror: synthetic edges + ``iters`` unrolled rank CTEs,
     final rank rounded to 6 dp (both engines sum ~3 in-contributions per
-    node per round in doubles; the drift stays ~1e-14, far inside 6 dp)."""
+    node per round in doubles; the drift stays ~1e-14, far inside 6 dp).
+
+    ``edges_cte`` / ``nodes_cte`` inject a custom (src, dst) edge body and
+    (id) node body — e.g. the host-coarsened graph — in place of the
+    default synthetic doc graph."""
+    edges_body = edges_cte or synthetic_edges_sql(table, docid)
+    nodes_body = nodes_cte or f"SELECT {docid}::BIGINT AS id FROM {table}"
     ctes = [
         f"n AS (SELECT count(*) AS n FROM {table})",
-        f"edges AS ({synthetic_edges_sql(table, docid)})",
+        f"edges AS ({edges_body})",
+        f"nodes AS ({nodes_body})",
         "deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src)",
-        f"r0 AS (SELECT {docid}::BIGINT AS id, 1.0::DOUBLE AS rank FROM {table})",
+        "r0 AS (SELECT id, 1.0::DOUBLE AS rank FROM nodes)",
     ]
     for i in range(1, iters + 1):
         ctes.append(
             f"""r{i} AS (
-  SELECT d.{docid}::BIGINT AS id,
+  SELECT d.id,
          {1 - damping} + {damping} * coalesce(s.m, 0) AS rank
-  FROM {table} d LEFT JOIN (
+  FROM nodes d LEFT JOIN (
     SELECT e.dst, sum(r.rank / deg.outdeg) AS m
     FROM edges e JOIN r{i - 1} r ON r.id = e.src JOIN deg ON deg.src = e.src
-    GROUP BY e.dst) s ON s.dst = d.{docid}::BIGINT)"""
+    GROUP BY e.dst) s ON s.dst = d.id)"""
         )
     return (
         "WITH " + ",\n".join(ctes)

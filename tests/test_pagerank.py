@@ -172,3 +172,17 @@ def test_hits_fixed_nodes_universe(spark):
     assert set(rows) == {0, 1, 7}
     assert rows[7]["auth"] == 0.0 and rows[7]["hub"] == 0.0
     assert rows[0]["auth"] == pytest.approx(1.5)
+
+
+def test_pagerank_custom_graph_matches_mirror(spark):
+    """pagerank over an arbitrary coarsened graph (host-graph shape)
+    still matches the Python mirror — guards the nodes/edges injection
+    path the host_rank gate row uses."""
+    edges = [(0, 1), (1, 2), (2, 0), (2, 1)]
+    nodes = spark.createDataFrame([(0,), (1,), (2,), (3,)], "id long")
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["id"]: r["rank"]
+           for r in PR.pagerank(df, nodes=nodes, iters=8).collect()}
+    want = _py_pagerank(edges, iters=8, nodes=[0, 1, 2, 3])
+    assert got == pytest.approx(want, rel=1e-9)
+    assert got[3] == pytest.approx(0.15)  # isolated node
