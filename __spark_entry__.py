@@ -1681,6 +1681,17 @@ def q_pagerank(spark, sf_dir):
     )
 
 
+def q_cms_topk(spark, sf_dir):
+    """Count-Min Sketch heavy hitters (Cormode & Muthukrishnan 2005):
+    top-25 terms by sketch estimate from a 4x256 relational counter grid,
+    exact counts alongside — even the ESTIMATES are oracle-checked
+    because the bucket hashes are the deterministic md5 two-hash
+    family."""
+    from search_engine_spark.operators import sketches as SK
+
+    return SK.cms_heavy_hitters(_docs(spark, sf_dir), k=25)
+
+
 def q_host_rank(spark, sf_dir):
     """Host-level PageRank: coarsen the doc link graph to hosts
     (doc_id % 97) BEFORE iterating, then join the host prior back to
@@ -2226,6 +2237,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_clean": q_c4_clean,  # C4 line-level cleaning (r5)
         "sitemap_parse": q_sitemap_parse,  # sitemaps.org seed channel (r5)
         "host_rank": q_host_rank,  # host-coarsened PageRank prior (r5)
+        "cms_topk": q_cms_topk,  # Count-Min Sketch heavy hitters (r5)
     }
 
 
@@ -3298,6 +3310,10 @@ GROUP BY f.docid
     sqls["gopher_filter"] = gopher_filter_sql()
 
     from search_engine_spark.operators.curation import c4_clean_sql
+
+    from search_engine_spark.operators.sketches import cms_heavy_hitters_sql
+
+    sqls["cms_topk"] = cms_heavy_hitters_sql(k=25)
 
     from search_engine_spark.operators.frontier import sitemap_entries_sql
 

@@ -1584,3 +1584,63 @@ def test_gopher_filter_duckdb_mirror(spark):
         for r in con.execute(TS.gopher_filter_sql(table="gdocs")).fetchall()
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Count-Min Sketch (Cormode & Muthukrishnan 2005; operators/sketches.py)
+# ---------------------------------------------------------------------------
+
+
+def test_cms_estimate_dominates_exact_and_finds_heavies(spark):
+    from search_engine_spark.operators import sketches as SK
+
+    rows = [(i, ("alpha " * 50) + f"tail{i} beta beta") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = SK.cms_heavy_hitters(df, k=5).collect()
+    by_term = {r["term"]: r for r in got}
+    # CMS invariant: estimate >= exact, always
+    assert all(r["overcount"] >= 0 for r in got)
+    # the true heavy hitter leads and its exact count is right
+    assert got[0]["term"] == "alpha" and got[0]["exact"] == 1000
+    assert by_term["beta"]["exact"] == 40
+
+
+def test_cms_counters_mergeable_grid(spark):
+    """The counter grid is a monoid: grid(A union B) == re-agg of
+    grid(A) union grid(B) — the property incremental ingest relies on."""
+    from pyspark.sql import functions as F2
+
+    from search_engine_spark.operators import sketches as SK
+
+    a = spark.createDataFrame(
+        [(0, "x y z x"), (1, "x q")], "doc_id long, text string"
+    )
+    b = spark.createDataFrame(
+        [(2, "y y q w")], "doc_id long, text string"
+    )
+    whole = {(r["row"], r["bucket"]): r["c"]
+             for r in SK.cms_counters(a.unionByName(b)).collect()}
+    merged = {
+        (r["row"], r["bucket"]): r["c"]
+        for r in SK.cms_counters(a)
+        .unionByName(SK.cms_counters(b))
+        .groupBy("row", "bucket")
+        .agg(F2.sum("c").alias("c"))
+        .collect()
+    }
+    assert whole == merged
+
+
+def test_cms_forced_collision_overcounts(spark):
+    """With width=1 every term shares every counter, so each estimate is
+    the total token count — the degenerate case that proves the min-over-
+    rows estimate and the overcount accounting are wired right."""
+    from search_engine_spark.operators import sketches as SK
+
+    df = spark.createDataFrame(
+        [(0, "a a a b c")], "doc_id long, text string"
+    )
+    got = {r["term"]: r for r in
+           SK.cms_heavy_hitters(df, k=10, width=1).collect()}
+    assert all(r["est"] == 5 for r in got.values())
+    assert got["a"]["overcount"] == 2 and got["b"]["overcount"] == 4
