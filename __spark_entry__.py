@@ -1681,6 +1681,19 @@ def q_pagerank(spark, sf_dir):
     )
 
 
+def q_mmr_rerank(spark, sf_dir):
+    """MMR diversification (Carbonell & Goldstein 1998): greedy top-5
+    from the exact top-20 cosine pool, lambda=0.7 — k tiny unrolled
+    steps over a checkpointed candidate set; the distributed work is the
+    one exact top-pool scan."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    return S.mmr_rerank(emb, qv, k=5, pool=20, exclude_self=0)
+
+
 def q_cms_topk(spark, sf_dir):
     """Count-Min Sketch heavy hitters (Cormode & Muthukrishnan 2005):
     top-25 terms by sketch estimate from a 4x256 relational counter grid,
@@ -2238,6 +2251,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_parse": q_sitemap_parse,  # sitemaps.org seed channel (r5)
         "host_rank": q_host_rank,  # host-coarsened PageRank prior (r5)
         "cms_topk": q_cms_topk,  # Count-Min Sketch heavy hitters (r5)
+        "mmr_rerank": q_mmr_rerank,  # MMR diversification (r5)
     }
 
 
@@ -3310,6 +3324,10 @@ GROUP BY f.docid
     sqls["gopher_filter"] = gopher_filter_sql()
 
     from search_engine_spark.operators.curation import c4_clean_sql
+
+    from search_engine_spark.operators.similarity import mmr_rerank_sql
+
+    sqls["mmr_rerank"] = mmr_rerank_sql(qid=0, k=5, pool=20)
 
     from search_engine_spark.operators.sketches import cms_heavy_hitters_sql
 

@@ -560,3 +560,153 @@ def ivf_topk(
         .orderBy(F.col("cos").desc(), F.col("vec_id").asc())
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversification (Carbonell & Goldstein 1998) — serving-tier re-rank
+# ---------------------------------------------------------------------------
+
+
+def mmr_rerank(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 5,
+    pool: int = 20,
+    lam: float = 0.7,
+    vec_id: str = "vec_id",
+    vec: str = "embedding",
+    exclude_self: int | None = None,
+) -> DataFrame:
+    """(rank, vec_id, rel, mmr) — Maximal Marginal Relevance re-ranking:
+    greedily pick ``k`` results from the exact top-``pool`` cosine
+    candidates, each step maximizing ``lam*rel - (1-lam)*max_sim`` to the
+    already-selected set (Carbonell & Goldstein 1998) — the standard
+    redundancy-killer for near-duplicate-heavy web results.
+
+    Greedy selection is inherently sequential, but each of the ``k``
+    steps touches only the ``pool`` candidates (a serving-side constant),
+    so the unrolled plan is k tiny co-located joins over a
+    localCheckpointed candidate set — the EXPENSIVE part (exact top-pool
+    over the full embedding table) stays one distributed scan. The same
+    unrolled construction mirrors to SQL (``mmr_rerank`` gate row), which
+    would be impossible for a data-dependent loop.
+
+    Determinism: rel and pairwise sims are rounded to ``COS_DECIMALS``
+    BEFORE the mmr arithmetic, lam/(1-lam) are computed once driver-side
+    and injected as literals in both engines, ties break on vec_id."""
+    rel = cosine_topk(
+        emb, query_vec, k=pool, vec_id=vec_id, vec=vec,
+        exclude_self=exclude_self,
+    ).withColumnRenamed("cos", "rel")
+    cands = rel.join(
+        emb.select(F.col(vec_id).alias("vec_id"), F.col(vec).alias("_v")),
+        "vec_id",
+    ).localCheckpoint()
+    selected = (
+        cands.orderBy(F.col("rel").desc(), F.col("vec_id").asc())
+        .limit(1)
+        .select(
+            F.lit(1).alias("rank"), "vec_id", "rel",
+            F.col("rel").alias("mmr"), "_v",
+        )
+        .localCheckpoint()
+    )
+    om = 1.0 - lam
+    for step in range(2, k + 1):
+        s = F.broadcast(
+            selected.select(
+                F.col("vec_id").alias("_sid"), F.col("_v").alias("_sv")
+            )
+        )
+        pick = (
+            cands.join(
+                selected.select(F.col("vec_id").alias("_sid")),
+                cands["vec_id"] == F.col("_sid"),
+                "left_anti",
+            )
+            .crossJoin(s)
+            .select(
+                "vec_id", "rel", "_v",
+                cosine_col(F.col("_v"), F.col("_sv")).alias("_sim"),
+            )
+            .groupBy("vec_id", "rel", "_v")
+            .agg(F.max("_sim").alias("_maxsim"))
+            .select(
+                F.lit(step).alias("rank"), "vec_id", "rel",
+                (
+                    F.lit(lam) * F.col("rel")
+                    - F.lit(om) * F.col("_maxsim")
+                ).alias("mmr"),
+                "_v",
+            )
+            .orderBy(F.col("mmr").desc(), F.col("vec_id").asc())
+            .limit(1)
+        )
+        selected = selected.unionByName(pick).localCheckpoint()
+    return selected.select(
+        "rank", "vec_id", F.round("rel", COS_DECIMALS).alias("rel"),
+        F.round("mmr", COS_DECIMALS).alias("mmr"),
+    )
+
+
+def mmr_rerank_sql(
+    qid: int = 0,
+    k: int = 5,
+    pool: int = 20,
+    lam: float = 0.7,
+    dims: int = 64,
+) -> str:
+    """DuckDB mirror of :func:`mmr_rerank` over the embeddings table with
+    query vector = row ``qid`` (excluded from candidates) — the same
+    unrolled greedy steps as MATERIALIZED CTEs."""
+    om = 1.0 - lam
+    ctes = [
+        f"q AS MATERIALIZED (SELECT embedding AS qv FROM embeddings"
+        f" WHERE vec_id = {qid})",
+        f"""cand AS MATERIALIZED (
+  SELECT vec_id, emb, rel FROM (
+    SELECT e.vec_id, e.embedding AS emb,
+           round(sum(list_extract(e.embedding, g.i)::DOUBLE
+                     * list_extract(q.qv, g.i)::DOUBLE)
+                 / (sqrt(sum(list_extract(e.embedding, g.i)::DOUBLE
+                             * list_extract(e.embedding, g.i)::DOUBLE))
+                    * sqrt(sum(list_extract(q.qv, g.i)::DOUBLE
+                               * list_extract(q.qv, g.i)::DOUBLE))),
+                 6) AS rel
+    FROM embeddings e, q, unnest(generate_series(1, {dims})) AS g(i)
+    WHERE e.vec_id <> {qid}
+    GROUP BY e.vec_id, e.embedding)
+  ORDER BY rel DESC, vec_id ASC LIMIT {pool})""",
+        """sel1 AS MATERIALIZED (
+  SELECT 1 AS rank, vec_id, rel, rel AS mmr, emb
+  FROM cand ORDER BY rel DESC, vec_id ASC LIMIT 1)""",
+    ]
+    for i in range(2, k + 1):
+        ctes.append(
+            f"""ps{i} AS MATERIALIZED (
+  SELECT c.vec_id, c.rel, c.emb, s.vec_id AS sid,
+         round(sum(list_extract(c.emb, g.i)::DOUBLE
+                   * list_extract(s.emb, g.i)::DOUBLE)
+               / (sqrt(sum(list_extract(c.emb, g.i)::DOUBLE
+                           * list_extract(c.emb, g.i)::DOUBLE))
+                  * sqrt(sum(list_extract(s.emb, g.i)::DOUBLE
+                             * list_extract(s.emb, g.i)::DOUBLE))),
+               6) AS sim
+  FROM cand c, sel{i - 1} s, unnest(generate_series(1, {dims})) AS g(i)
+  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{i - 1})
+  GROUP BY c.vec_id, c.rel, c.emb, s.vec_id)""")
+        ctes.append(
+            f"""p{i} AS MATERIALIZED (
+  SELECT {i} AS rank, vec_id, rel,
+         {lam!r} * rel - {om!r} * max(sim) AS mmr, emb
+  FROM ps{i} GROUP BY vec_id, rel, emb
+  ORDER BY mmr DESC, vec_id ASC LIMIT 1)""")
+        ctes.append(
+            f"sel{i} AS MATERIALIZED (SELECT * FROM sel{i - 1}"
+            f" UNION ALL SELECT * FROM p{i})"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT rank, vec_id, rel, round(mmr, 6) AS mmr FROM sel{k}"""
+    )

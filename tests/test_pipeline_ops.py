@@ -1644,3 +1644,81 @@ def test_cms_forced_collision_overcounts(spark):
            SK.cms_heavy_hitters(df, k=10, width=1).collect()}
     assert all(r["est"] == 5 for r in got.values())
     assert got["a"]["overcount"] == 2 and got["b"]["overcount"] == 4
+
+
+# ---------------------------------------------------------------------------
+# MMR diversification (Carbonell & Goldstein 1998; operators/similarity.py)
+# ---------------------------------------------------------------------------
+
+
+def _py_mmr(vecs, qv, k, pool, lam):
+    import math as _m
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return round(
+            d / (_m.sqrt(sum(x * x for x in a)) * _m.sqrt(sum(y * y for y in b))),
+            6,
+        )
+
+    rel = sorted(
+        ((vid, cos(v, qv)) for vid, v in vecs.items()),
+        key=lambda t: (-t[1], t[0]),
+    )[:pool]
+    cands = dict(rel)
+    sel = [max(rel, key=lambda t: (t[1], -t[0]))]
+    out = [(1, sel[0][0], sel[0][1], sel[0][1])]
+    while len(sel) < k and len(sel) < len(cands):
+        best = None
+        for vid, r in rel:
+            if any(vid == s[0] for s in sel):
+                continue
+            maxsim = max(cos(vecs[vid], vecs[s[0]]) for s in sel)
+            score = lam * r - (1.0 - lam) * maxsim
+            if best is None or (score, -vid) > (best[2], -best[0]):
+                best = (vid, r, score)
+        sel.append((best[0], best[1]))
+        out.append((len(sel), best[0], best[1], round(best[2], 6)))
+    return out
+
+
+def test_mmr_rerank_matches_python_mirror(spark):
+    import random
+
+    rng = random.Random(7)
+    vecs = {
+        i: [round(rng.uniform(-1, 1), 3) for _ in range(8)] for i in range(30)
+    }
+    qv = vecs[0]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()],
+        "vec_id long, embedding array<double>",
+    )
+    got = sorted(
+        tuple(r)
+        for r in S.mmr_rerank(
+            df, qv, k=4, pool=10, lam=0.7, exclude_self=0
+        ).collect()
+    )
+    want = sorted(_py_mmr(
+        {i: v for i, v in vecs.items() if i != 0}, qv, k=4, pool=10, lam=0.7
+    ))
+    assert got == want
+
+
+def test_mmr_penalizes_redundancy(spark):
+    """Two near-identical top candidates + one diverse lower-relevance
+    one: plain cosine top-2 keeps the clones; MMR at lambda .5 swaps the
+    diverse vector in at rank 2 (the clone's sim-to-selected ~1 wipes
+    out its relevance edge)."""
+    q = [1.0] + [0.0] * 7
+    clone_a = [0.9, 0.1] + [0.0] * 6
+    clone_b = [0.9, 0.11] + [0.0] * 6
+    diverse = [0.6, 0.0, 0.8] + [0.0] * 5
+    df = spark.createDataFrame(
+        [(1, clone_a), (2, clone_b), (3, diverse)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r["rank"]: r["vec_id"]
+           for r in S.mmr_rerank(df, q, k=3, pool=3, lam=0.5).collect()}
+    assert got[1] == 1 and got[2] == 3 and got[3] == 2
