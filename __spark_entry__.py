@@ -1681,6 +1681,30 @@ def q_pagerank(spark, sf_dir):
     )
 
 
+def q_funnel(spark, sf_dir):
+    """Strict-order first-completion funnel view->click->purchase with a
+    72h window anchored at entry, per-user stage + epoch-micro stage
+    times (operators/events.py — one user_id exchange feeds the whole
+    chain)."""
+    from search_engine_spark.operators import events as EV
+
+    return EV.funnel(
+        _t(spark, sf_dir, "events"), ["view", "click", "purchase"],
+        window_hours=72,
+    )
+
+
+def q_retention(spark, sf_dir):
+    """Weekly cohort retention anchored on first 'signup' event: cohort
+    by absolute 7-day epoch grid, distinct active users per (cohort,
+    period) up to 8 periods out."""
+    from search_engine_spark.operators import events as EV
+
+    return EV.retention_cohorts(
+        _t(spark, sf_dir, "events"), "signup", period_days=7, max_periods=8
+    )
+
+
 def q_mmr_rerank(spark, sf_dir):
     """MMR diversification (Carbonell & Goldstein 1998): greedy top-5
     from the exact top-20 cosine pool, lambda=0.7 — k tiny unrolled
@@ -2252,6 +2276,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_rank": q_host_rank,  # host-coarsened PageRank prior (r5)
         "cms_topk": q_cms_topk,  # Count-Min Sketch heavy hitters (r5)
         "mmr_rerank": q_mmr_rerank,  # MMR diversification (r5)
+        "funnel": q_funnel,  # event funnel analysis (r5)
+        "retention": q_retention,  # cohort retention (r5)
     }
 
 
@@ -3324,6 +3350,16 @@ GROUP BY f.docid
     sqls["gopher_filter"] = gopher_filter_sql()
 
     from search_engine_spark.operators.curation import c4_clean_sql
+
+    from search_engine_spark.operators.events import (
+        funnel_sql,
+        retention_cohorts_sql,
+    )
+
+    sqls["funnel"] = funnel_sql(["view", "click", "purchase"], window_hours=72)
+    sqls["retention"] = retention_cohorts_sql(
+        "signup", period_days=7, max_periods=8
+    )
 
     from search_engine_spark.operators.similarity import mmr_rerank_sql
 

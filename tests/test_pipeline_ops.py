@@ -1722,3 +1722,137 @@ def test_mmr_penalizes_redundancy(spark):
     got = {r["rank"]: r["vec_id"]
            for r in S.mmr_rerank(df, q, k=3, pool=3, lam=0.5).collect()}
     assert got[1] == 1 and got[2] == 3 and got[3] == 2
+
+
+# ---------------------------------------------------------------------------
+# Event-sequence analytics (operators/events.py: funnel, retention)
+# ---------------------------------------------------------------------------
+
+
+def test_funnel_strict_order_and_window(spark):
+    from search_engine_spark.operators import events as EV
+
+    H = 3_600_000_000  # 1h in micros
+
+    def ts(h):
+        from datetime import datetime, timedelta
+
+        return datetime(2024, 1, 1) + timedelta(hours=h)
+
+    rows = [
+        # u1 completes in order: view@0, click@1, purchase@2
+        (1, ts(0), "view"), (1, ts(1), "click"), (1, ts(2), "purchase"),
+        # u2: click BEFORE view never counts; no click after view -> stage 1
+        (2, ts(0), "click"), (2, ts(1), "view"),
+        # u3: click inside window, purchase outside the 72h entry window
+        (3, ts(0), "view"), (3, ts(1), "click"), (3, ts(100), "purchase"),
+        # u4: never fires view -> absent
+        (4, ts(0), "click"), (4, ts(1), "purchase"),
+        # u5: simultaneous-ish repeats: earliest qualifying event wins
+        (5, ts(0), "view"), (5, ts(2), "click"), (5, ts(1), "click"),
+        (5, ts(3), "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {r["user_id"]: r.asDict()
+           for r in EV.funnel(df, ["view", "click", "purchase"], 72).collect()}
+    assert set(got) == {1, 2, 3, 5}
+    assert got[1]["stage"] == 3 and got[1]["t3_us"] - got[1]["t1_us"] == 2 * H
+    assert got[2]["stage"] == 1 and got[2]["t2_us"] is None
+    assert got[3]["stage"] == 2 and got[3]["t3_us"] is None
+    assert got[5]["stage"] == 3 and got[5]["t2_us"] - got[5]["t1_us"] == 1 * H
+
+
+def test_funnel_duckdb_mirror_and_validation(spark):
+    import duckdb
+    import pandas as pd
+    import pytest as _pytest
+    from datetime import datetime, timedelta
+
+    from search_engine_spark.operators import events as EV
+
+    rows = [
+        (u, datetime(2024, 1, 1) + timedelta(hours=u * 3 + i * 7 % 50),
+         t)
+        for u in range(12)
+        for i, t in enumerate(
+            ["view", "click", "view", "purchase", "click"][: u % 5 + 1]
+        )
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = sorted(tuple(r) for r in
+                 EV.funnel(df, ["view", "click", "purchase"], 48).collect())
+    con = duckdb.connect()
+    con.register("events", pd.DataFrame(rows, columns=["user_id", "ts", "event_type"]))
+    want = sorted(tuple(r) for r in con.execute(
+        EV.funnel_sql(["view", "click", "purchase"], 48)).fetchall())
+    assert got == want and len(got) > 0
+    with _pytest.raises(ValueError, match="at least 2"):
+        EV.funnel(df, ["view"])
+
+
+def test_retention_cohorts_semantics(spark):
+    from datetime import datetime, timedelta
+
+    from search_engine_spark.operators import events as EV
+
+    def d(days):
+        return datetime(2024, 1, 3) + timedelta(days=days)
+
+    rows = [
+        (1, d(0), "signup"), (1, d(8), "view"), (1, d(16), "click"),
+        (2, d(1), "signup"), (2, d(2), "view"),
+        (3, d(9), "signup"), (3, d(15), "view"),
+        (4, d(0), "view"),                               # never signed up
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {(r["cohort"], r["period"]): r["active_users"]
+           for r in EV.retention_cohorts(df, "signup", 7, 8).collect()}
+
+    # Python mirror of the absolute 7-day epoch grid
+    pd_us = 7 * 86_400_000_000
+    from datetime import timezone
+
+    def period(dt):
+        return int(dt.replace(tzinfo=timezone.utc).timestamp() * 1e6) // pd_us
+
+    cohort = {}
+    for u, dt, et in rows:
+        if et == "signup":
+            cohort[u] = min(cohort.get(u, 10**9), period(dt))
+    want = {}
+    seen = set()
+    for u, dt, et in rows:
+        if u not in cohort:
+            continue
+        p = period(dt) - cohort[u]
+        if 0 <= p <= 8 and (u, p) not in seen:
+            seen.add((u, p))
+            key = (cohort[u], p)
+            want[key] = want.get(key, 0) + 1
+    assert got == want
+    assert 4 not in cohort  # never-signed-up user contributes nothing
+    # every cohort counts itself at period 0
+    assert all(got[(c, 0)] >= 1 for c in {v for v in cohort.values()})
+
+
+def test_retention_duckdb_mirror(spark):
+    import duckdb
+    import pandas as pd
+    from datetime import datetime, timedelta
+
+    from search_engine_spark.operators import events as EV
+
+    rows = [
+        (u, datetime(2024, 1, 1) + timedelta(days=(u * 3 + i * 5) % 40),
+         t)
+        for u in range(15)
+        for i, t in enumerate(["signup", "view", "click", "view"][: u % 4 + 1])
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = sorted(tuple(r) for r in
+                 EV.retention_cohorts(df, "signup", 7, 8).collect())
+    con = duckdb.connect()
+    con.register("events", pd.DataFrame(rows, columns=["user_id", "ts", "event_type"]))
+    want = sorted(tuple(r) for r in con.execute(
+        EV.retention_cohorts_sql("signup", 7, 8)).fetchall())
+    assert got == want and len(got) > 0
