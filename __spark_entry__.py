@@ -1681,6 +1681,14 @@ def q_pagerank(spark, sf_dir):
     )
 
 
+def q_more_like_this(spark, sf_dir):
+    """Related-documents serving (Lucene MoreLikeThis analogue): top-10
+    docs by tf-idf cosine to doc 7 over shared terms — integer milli-nat
+    idf weights keep every dot product and norm exact BIGINT arithmetic
+    until the final cosine division."""
+    return T.more_like_this(_docs(spark, sf_dir), query_docid=7, k=10)
+
+
 def q_funnel(spark, sf_dir):
     """Strict-order first-completion funnel view->click->purchase with a
     72h window anchored at entry, per-user stage + epoch-micro stage
@@ -2278,6 +2286,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmr_rerank": q_mmr_rerank,  # MMR diversification (r5)
         "funnel": q_funnel,  # event funnel analysis (r5)
         "retention": q_retention,  # cohort retention (r5)
+        "more_like_this": q_more_like_this,  # tf-idf related docs (r5)
     }
 
 
@@ -3350,6 +3359,10 @@ GROUP BY f.docid
     sqls["gopher_filter"] = gopher_filter_sql()
 
     from search_engine_spark.operators.curation import c4_clean_sql
+
+    from search_engine_spark.operators.text_ops import more_like_this_sql
+
+    sqls["more_like_this"] = more_like_this_sql(query_docid=7, k=10)
 
     from search_engine_spark.operators.events import (
         funnel_sql,

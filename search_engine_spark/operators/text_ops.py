@@ -587,3 +587,136 @@ WHERE {" OR ".join(f"c.ctf{i} > 0" for i in range(len(terms)))}
 ORDER BY score DESC, c.docid ASC
 LIMIT {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# More-Like-This: tf-idf term-space document similarity
+# ---------------------------------------------------------------------------
+
+MLT_IDF_QUANT = 1000  # idf quantized to integer milli-nats (see below)
+
+
+def mlt_weights(
+    df: DataFrame, docid: str = "doc_id", text: str = "text"
+) -> DataFrame:
+    """(docid, term, w) — tf-idf document vectors with
+    ``w = tf * floor(ln(N/df) * 1e3)`` (an exact BIGINT).
+
+    The milli-nat idf quantization is the same trick as the LM scorer's
+    micro-nats (textstats.py): every downstream dot product and norm is
+    INTEGER arithmetic — associative, partitioning-independent,
+    bit-identical across engines — with one float division + sqrt at the
+    very end. Milli (not micro) keeps w ~1e6, so pairwise products stay
+    ~1e12 and corpus-scale sums sit far under int64."""
+    tf = term_frequencies(df, docid, text)
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    n = df.select(F.count(F.lit(1)).alias("_n"))
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "docid",
+            "term",
+            (
+                F.col("tf")
+                * F.floor(
+                    F.log(F.col("_n") / F.col("_df"))
+                    * F.lit(MLT_IDF_QUANT)
+                ).cast("long")
+            ).cast("long").alias("w"),
+        )
+        .filter(F.col("w") > 0)  # df == N terms carry zero signal
+    )
+
+
+def more_like_this(
+    df: DataFrame,
+    query_docid: int,
+    k: int = 10,
+    docid: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """(docid, cos) — top-``k`` documents most similar to
+    ``query_docid`` by tf-idf cosine over shared terms (the classic
+    related-documents / Lucene MoreLikeThis serving feature, term-space
+    sibling of the embedding :func:`similarity.cosine_topk`).
+
+    Shape: vectors and norms are term-/doc-keyed aggs with map-side
+    combine; the probe is ONE co-partitioned join on ``term`` against the
+    query doc's (small, broadcast) vector, then a doc-keyed dot-product
+    agg — candidate docs sharing no term with the query never enter the
+    join. All integer until the final cos division."""
+    w = mlt_weights(df, docid, text)
+    norms = w.groupBy("docid").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
+    qv = F.broadcast(
+        w.filter(F.col("docid") == query_docid).select(
+            "term", F.col("w").alias("qw")
+        )
+    )
+    qn = F.broadcast(
+        norms.filter(F.col("docid") == query_docid).select(
+            F.col("n2").alias("qn2")
+        )
+    )
+    dots = (
+        w.join(qv, "term")
+        .filter(F.col("docid") != query_docid)
+        .groupBy("docid")
+        .agg(F.sum(F.col("w") * F.col("qw")).alias("dot"))
+    )
+    return (
+        dots.join(norms, "docid")
+        .crossJoin(qn)
+        .select(
+            "docid",
+            F.round(
+                F.col("dot")
+                / (F.sqrt(F.col("n2")) * F.sqrt(F.col("qn2"))),
+                6,
+            ).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), F.col("docid").asc())
+        .limit(k)
+    )
+
+
+def more_like_this_sql(
+    query_docid: int,
+    k: int = 10,
+    table: str = "documents",
+    docid: str = "doc_id",
+    text: str = "text",
+) -> str:
+    """DuckDB mirror of :func:`more_like_this`."""
+    return f"""
+WITH toks AS (
+  SELECT {docid} AS docid,
+         list_filter(string_split_regex(lower({text}), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM {table}
+),
+flat AS (SELECT docid, t.term FROM toks, unnest(toks.toks) AS t(term)),
+tf AS (SELECT docid, term, count(*) AS tf FROM flat GROUP BY docid, term),
+dfreq AS (SELECT term, count(*) AS dfc FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n FROM {table}),
+w AS (
+  SELECT docid, term,
+         (tf * floor(ln(n.n::DOUBLE / dfc) * {MLT_IDF_QUANT})::BIGINT)::BIGINT
+           AS w
+  FROM tf JOIN dfreq USING (term), n
+),
+wp AS (SELECT * FROM w WHERE w > 0),
+norms AS (SELECT docid, sum(w * w)::BIGINT AS n2 FROM wp GROUP BY docid),
+qv AS (SELECT term, w AS qw FROM wp WHERE docid = {query_docid}),
+qn AS (SELECT n2 AS qn2 FROM norms WHERE docid = {query_docid}),
+dots AS (
+  SELECT wp.docid, sum(wp.w * qv.qw)::BIGINT AS dot
+  FROM wp JOIN qv USING (term)
+  WHERE wp.docid <> {query_docid}
+  GROUP BY wp.docid
+)
+SELECT d.docid,
+       round(d.dot / (sqrt(n2.n2) * sqrt(qn.qn2)), 6) AS cos
+FROM dots d JOIN norms n2 ON n2.docid = d.docid, qn
+ORDER BY cos DESC, d.docid ASC LIMIT {k}
+"""

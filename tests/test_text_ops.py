@@ -78,3 +78,50 @@ def test_bm25_topk_matches_duckdb(documents, ddb, q):
 
 def test_bm25_empty_query(documents):
     assert bm25_topk(documents, "the and of", k=10).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# More-Like-This (tf-idf term-space similarity; text_ops.more_like_this)
+# ---------------------------------------------------------------------------
+
+
+def test_more_like_this_ranks_shared_vocab(spark):
+    import math
+
+    from search_engine_spark.operators.text_ops import (
+        MLT_IDF_QUANT,
+        more_like_this,
+    )
+
+    rows = [
+        (0, "spark shuffle join window"),
+        (1, "spark shuffle join sort"),       # 3/4 terms shared with 0
+        (2, "spark window"),                  # 2 shared
+        (3, "totally unrelated words here"),  # 0 shared
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [(r["docid"], r["cos"]) for r in more_like_this(df, 0, k=5).collect()]
+    # doc 2 is a pure subset vector (short norm) so it outranks doc 1;
+    # doc 3 shares nothing and is absent entirely
+    assert [d for d, _ in got] == [2, 1]
+    # hand-check doc 2's cosine from the quantized weights
+    def w(term, n, dfc, tf=1):
+        return tf * math.floor(math.log(n / dfc) * MLT_IDF_QUANT)
+
+    w_spark, w_window = w("spark", 4, 3), w("window", 4, 2)
+    w_join = w("join", 4, 2)
+    w_shuffle = w("shuffle", 4, 2)
+    dot = w_spark * w_spark + w_window * w_window
+    n0 = math.sqrt(w_spark**2 + w_shuffle**2 + w_join**2 + w_window**2)
+    n2 = math.sqrt(w_spark**2 + w_window**2)
+    assert got[0] == (2, round(dot / (n0 * n2), 6))
+
+
+def test_more_like_this_excludes_ubiquitous_terms(spark):
+    from search_engine_spark.operators.text_ops import mlt_weights
+
+    rows = [(i, f"common unique{i}") for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    terms = {r["term"] for r in mlt_weights(df).collect()}
+    assert "common" not in terms  # df == N -> idf 0 -> pruned
+    assert "unique0" in terms
