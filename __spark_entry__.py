@@ -1681,6 +1681,33 @@ def q_pagerank(spark, sf_dir):
     )
 
 
+def q_search_eval(spark, sf_dir):
+    """TREC-style ranking evaluation (nDCG@10, MRR, recall@10) over a
+    deterministic synthetic run + graded qrels derived from documents:
+    10 queries, result r of query q is doc (q*31 + r*7) % N, judged
+    relevant when docid % (q+2) == 0 with grade docid % 3 (operators/
+    evaluation.py — integer micro-discount table shared verbatim with
+    the SQL mirror)."""
+    from search_engine_spark.operators.evaluation import search_eval
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    n = docs.count()
+    qids = spark.range(10).select(F.col("id").alias("qid"))
+    ranks = qids.select(
+        "qid", F.explode(F.sequence(F.lit(1), F.lit(10))).alias("rank")
+    )
+    results = ranks.select(
+        "qid", ((F.col("qid") * 31 + F.col("rank") * 7) % n).alias("docid"),
+        "rank",
+    )
+    qrels = (
+        qids.crossJoin(docs.select(F.col("doc_id").alias("docid")))
+        .filter(F.col("docid") % (F.col("qid") + 2) == 0)
+        .select("qid", "docid", (F.col("docid") % 3).alias("rel"))
+    )
+    return search_eval(results, qrels, k=10)
+
+
 def q_more_like_this(spark, sf_dir):
     """Related-documents serving (Lucene MoreLikeThis analogue): top-10
     docs by tf-idf cosine to doc 7 over shared terms — integer milli-nat
@@ -2287,6 +2314,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,  # event funnel analysis (r5)
         "retention": q_retention,  # cohort retention (r5)
         "more_like_this": q_more_like_this,  # tf-idf related docs (r5)
+        "search_eval": q_search_eval,  # nDCG/MRR/recall harness (r5)
     }
 
 
@@ -3359,6 +3387,21 @@ GROUP BY f.docid
     sqls["gopher_filter"] = gopher_filter_sql()
 
     from search_engine_spark.operators.curation import c4_clean_sql
+
+    from search_engine_spark.operators.evaluation import search_eval_sql
+
+    sqls["search_eval"] = search_eval_sql(
+        results_sql="""
+SELECT q.qid, (q.qid * 31 + r.rank * 7) % (SELECT count(*) FROM documents)
+         AS docid, r.rank
+FROM generate_series(0, 9) AS q(qid),
+     generate_series(1, 10) AS r(rank)""",
+        qrels_sql="""
+SELECT q.qid, d.doc_id AS docid, d.doc_id % 3 AS rel
+FROM generate_series(0, 9) AS q(qid), documents d
+WHERE d.doc_id % (q.qid + 2) = 0""",
+        k=10,
+    )
 
     from search_engine_spark.operators.text_ops import more_like_this_sql
 

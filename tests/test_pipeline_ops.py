@@ -1856,3 +1856,74 @@ def test_retention_duckdb_mirror(spark):
     want = sorted(tuple(r) for r in con.execute(
         EV.retention_cohorts_sql("signup", 7, 8)).fetchall())
     assert got == want and len(got) > 0
+
+
+# ---------------------------------------------------------------------------
+# Ranking evaluation (nDCG/MRR/recall; operators/evaluation.py)
+# ---------------------------------------------------------------------------
+
+
+def test_search_eval_hand_computed(spark):
+    import math as _m
+
+    from search_engine_spark.operators.evaluation import (
+        EVAL_QUANT,
+        search_eval,
+    )
+
+    results = spark.createDataFrame(
+        # q0: perfect ranking of its two relevant docs
+        [(0, 100, 1), (0, 101, 2), (0, 102, 3),
+         # q1: the only relevant doc at rank 3
+         (1, 200, 1), (1, 201, 2), (1, 202, 3),
+         # q2: nothing relevant retrieved
+         (2, 300, 1)],
+        "qid long, docid long, rank long",
+    )
+    qrels = spark.createDataFrame(
+        [(0, 100, 2), (0, 101, 1), (0, 103, 0),   # rel-0 row is ignored
+         (1, 202, 1), (1, 250, 1),
+         (2, 999, 2)],
+        "qid long, docid long, rel long",
+    )
+    got = {r["qid"]: r.asDict() for r in search_eval(results, qrels).collect()}
+
+    def disc(r):
+        return round(EVAL_QUANT / _m.log2(r + 1))
+
+    # q0: dcg = 3*d1 + 1*d2 over ideal the same -> ndcg 1, mrr 1, recall 1
+    assert got[0]["ndcg"] == 1.0 and got[0]["mrr"] == 1.0
+    assert got[0]["recall"] == 1.0 and got[0]["n_rel"] == 2
+    # q1: dcg = 1*d3, idcg = 1*d1 + 1*d2; recall 1/2; mrr 1/3
+    want_ndcg = round(disc(3) / (disc(1) + disc(2)), 6)
+    assert got[1]["ndcg"] == want_ndcg
+    assert got[1]["mrr"] == round(1 / 3, 6) and got[1]["recall"] == 0.5
+    # q2: judged but nothing retrieved -> all zeros, still present
+    assert got[2]["ndcg"] == 0.0 and got[2]["mrr"] == 0.0
+    assert got[2]["recall"] == 0.0 and got[2]["n_rel"] == 1
+
+
+def test_search_eval_duckdb_mirror(spark):
+    import duckdb
+
+    from search_engine_spark.operators.evaluation import (
+        search_eval,
+        search_eval_sql,
+    )
+
+    results = [(q, (q * 13 + r * 3) % 40, r) for q in range(6)
+               for r in range(1, 11)]
+    qrels = [(q, d, (d + q) % 3) for q in range(6) for d in range(0, 40, 4)]
+    res_df = spark.createDataFrame(results, "qid long, docid long, rank long")
+    qr_df = spark.createDataFrame(qrels, "qid long, docid long, rel long")
+    got = sorted(tuple(r) for r in search_eval(res_df, qr_df, k=10).collect())
+    con = duckdb.connect()
+    import pandas as pd
+    con.register("res_in", pd.DataFrame(results,
+                                        columns=["qid", "docid", "rank"]))
+    con.register("qr_in", pd.DataFrame(qrels,
+                                       columns=["qid", "docid", "rel"]))
+    want = sorted(tuple(r) for r in con.execute(search_eval_sql(
+        "SELECT qid, docid, rank FROM res_in",
+        "SELECT qid, docid, rel FROM qr_in", k=10)).fetchall())
+    assert got == want and len(got) > 0
