@@ -521,6 +521,36 @@ def main() -> None:
         ],
     )
 
+    # 19. More-Like-This: query vector broadcast, no cartesian
+    audit(
+        "more_like_this (tf-idf related docs)",
+        qs["more_like_this"](spark, sf_dir),
+        [
+            ("query-doc vector broadcast", lambda p: "BroadcastExchange" in p),
+            ("TakeOrderedAndProject", lambda p: "TakeOrderedAndProject" in p),
+            ("no cartesian product", lambda p: "CartesianProduct" not in p),
+        ],
+    )
+    # 20. funnel: every stage keyed on user_id, no full-stream window
+    audit(
+        "event funnel (user_id-keyed stage chain)",
+        qs["funnel"](spark, sf_dir),
+        [
+            ("hash aggregation per stage", lambda p: "HashAggregate" in p),
+            ("no Window over the event stream", lambda p: ") Window" not in p),
+            ("no Python eval", lambda p: "BatchEvalPython" not in p),
+        ],
+    )
+    # 21. CMS: counter grid broadcast on the probe side
+    audit(
+        "cms_topk (Count-Min Sketch probe)",
+        qs["cms_topk"](spark, sf_dir),
+        [
+            ("counter grid broadcast", lambda p: "BroadcastExchange" in p),
+            ("TakeOrderedAndProject", lambda p: "TakeOrderedAndProject" in p),
+        ],
+    )
+
     out = ["# PLANS.md — physical-plan audit\n\n",
            f"Generated by tools/explain_audit.py over `{sf_dir}`.\n\n"]
     all_ok = True
