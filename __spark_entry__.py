@@ -1803,6 +1803,14 @@ def q_dedup_spans(spark, sf_dir):
     return D.duplicate_spans(_docs(spark, sf_dir), k=8)
 
 
+def q_dedup_spans_apply(spark, sf_dir):
+    """The ExactSubstr REMOVAL pass: rebuild every doc with its non-first
+    duplicated spans dropped (keep_first semantics) — the apply side of
+    `dedup_spans`, value-checking clean_text reassembly and the
+    n_removed accounting."""
+    return D.remove_duplicate_spans(_docs(spark, sf_dir), k=8)
+
+
 def q_hits(spark, sf_dir):
     """HITS hubs & authorities (Kleinberg 1999) over the same synthetic
     link graph as `pagerank` — the second query-independent link signal;
@@ -2304,6 +2312,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_deletes": q_topk_deletes,  # tombstone-masked query (r5)
         "hits": q_hits,  # hubs & authorities link signal (r5)
         "dedup_spans": q_dedup_spans,  # Lee et al. ExactSubstr (r5)
+        "dedup_spans_apply": q_dedup_spans_apply,  # span removal (r5)
         "lm_bigram": q_lm_bigram,  # stupid-backoff bigram LM (r5)
         "gopher_filter": q_gopher_filter,  # Gopher quality rules (r5)
         "c4_clean": q_c4_clean,  # C4 line-level cleaning (r5)
@@ -2977,9 +2986,13 @@ SELECT md5(text) AS content_hash, count(*) AS n_dupes, min(doc_id) AS keep_docid
 FROM documents GROUP BY md5(text)
 """
 
-    from search_engine_spark.operators.dedup import duplicate_spans_sql
+    from search_engine_spark.operators.dedup import (
+        duplicate_spans_sql,
+        remove_duplicate_spans_sql,
+    )
 
     sqls["dedup_spans"] = duplicate_spans_sql(k=8)
+    sqls["dedup_spans_apply"] = remove_duplicate_spans_sql(k=8)
 
     sqls["dedup_exact_suite"] = f"""
 SELECT 'doc' AS method, content_hash AS key, '' AS payload,

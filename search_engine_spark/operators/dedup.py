@@ -1192,3 +1192,49 @@ def dedup_by_cluster(
         .select(F.col("docid").alias(docid))
     )
     return df.join(keep, docid, "left_semi")
+
+
+def remove_duplicate_spans_sql(
+    k: int = 8,
+    table: str = "documents",
+    docid: str = "doc_id",
+    text: str = "text",
+    join_sep: str = " ",
+) -> str:
+    """DuckDB mirror of :func:`remove_duplicate_spans` — positions
+    anti-joined against the (materialized) span relation, survivors
+    re-aggregated in order."""
+    spans = duplicate_spans_sql(
+        k=k, keep_first=True, table=table, docid=docid, text=text
+    )
+    return f"""
+WITH toks AS (
+  SELECT {docid} AS docid,
+         list_filter(string_split_regex(lower({text}), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM {table}
+),
+pos AS (
+  SELECT docid, g.i - 1 AS pos, list_extract(toks, g.i) AS term
+  FROM toks, unnest(generate_series(1, len(toks))) AS g(i)
+),
+spans AS MATERIALIZED ({spans}),
+kept AS (
+  SELECT p.docid, p.pos, p.term
+  FROM pos p
+  WHERE NOT EXISTS (
+    SELECT 1 FROM spans s
+    WHERE s.docid = p.docid
+      AND p.pos BETWEEN s.span_start AND s.span_end)
+),
+rebuilt AS (
+  SELECT docid, string_agg(term, '{join_sep}' ORDER BY pos) AS clean_text,
+         count(*) AS kept_n
+  FROM kept GROUP BY docid
+)
+SELECT t.docid,
+       coalesce(r.clean_text, '') AS clean_text,
+       len(t.toks)::BIGINT AS n_tokens,
+       (len(t.toks) - coalesce(r.kept_n, 0))::BIGINT AS n_removed
+FROM toks t LEFT JOIN rebuilt r USING (docid)
+"""
