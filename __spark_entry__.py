@@ -1716,6 +1716,16 @@ def q_more_like_this(spark, sf_dir):
     return T.more_like_this(_docs(spark, sf_dir), query_docid=7, k=10)
 
 
+def q_view_click_join(spark, sf_dir):
+    """Stream-stream interval join, batch form: every (view, click) pair
+    by the same user within 30 min — click-to-impression attribution
+    (streaming/windows.py; the streaming execution with per-side
+    watermarks and state eviction is pytest-pinned stream==batch)."""
+    from search_engine_spark.streaming.windows import view_click_join
+
+    return view_click_join(_t(spark, sf_dir, "events"), "30 minutes")
+
+
 def q_funnel(spark, sf_dir):
     """Strict-order first-completion funnel view->click->purchase with a
     72h window anchored at entry, per-user stage + epoch-micro stage
@@ -2322,6 +2332,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmr_rerank": q_mmr_rerank,  # MMR diversification (r5)
         "funnel": q_funnel,  # event funnel analysis (r5)
         "retention": q_retention,  # cohort retention (r5)
+        "view_click_join": q_view_click_join,  # stream-stream join (r5)
         "more_like_this": q_more_like_this,  # tf-idf related docs (r5)
         "search_eval": q_search_eval,  # nDCG/MRR/recall harness (r5)
     }
@@ -3424,6 +3435,10 @@ WHERE d.doc_id % (q.qid + 2) = 0""",
         funnel_sql,
         retention_cohorts_sql,
     )
+
+    from search_engine_spark.streaming.windows import view_click_join_sql
+
+    sqls["view_click_join"] = view_click_join_sql(30)
 
     sqls["funnel"] = funnel_sql(["view", "click", "purchase"], window_hours=72)
     sqls["retention"] = retention_cohorts_sql(

@@ -168,3 +168,72 @@ def run_stream_to_memory(
         .start()
     )
     q.awaitTermination()
+
+
+def view_click_join(
+    events: DataFrame,
+    max_delay: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """(user_id, view_id, click_id, delay_us) — stream-stream INTERVAL
+    join: every (view, click) pair by the same user with
+    ``view.ts <= click.ts <= view.ts + max_delay`` (multi-touch
+    click-to-impression attribution; take min delay_us per click
+    downstream for last-touch).
+
+    On streams both sides carry watermarks and the join condition is
+    time-bounded, so Spark's stream-stream join can evict state: a view
+    older than ``watermark + max_delay`` can never match a future click
+    and is dropped from the join state. On static frames the SAME plan is
+    a plain range-condition equi-join on user_id (the time bound prunes
+    within the hash-partitioned user bucket). delay_us is exact integer
+    micros."""
+    views = events.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    if events.isStreaming:
+        views = views.withWatermark("view_ts", watermark)
+        clicks = clicks.withWatermark("click_ts", watermark)
+    joined = views.join(
+        clicks,
+        F.expr(
+            "v_user = c_user AND click_ts >= view_ts "
+            f"AND click_ts <= view_ts + INTERVAL {max_delay}"
+        ),
+    )
+    return joined.select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "click_id",
+        (
+            F.unix_micros(F.col("click_ts").cast("timestamp"))
+            - F.unix_micros(F.col("view_ts").cast("timestamp"))
+        ).alias("delay_us"),
+    )
+
+
+def view_click_join_sql(
+    max_delay_minutes: int = 30, table: str = "events"
+) -> str:
+    """DuckDB mirror of the batch form of :func:`view_click_join`."""
+    delay_us = max_delay_minutes * 60_000_000
+    return f"""
+WITH v AS (
+  SELECT user_id, event_id AS view_id, epoch_us(ts::TIMESTAMP) AS vt
+  FROM {table} WHERE event_type = 'view'
+),
+c AS (
+  SELECT user_id, event_id AS click_id, epoch_us(ts::TIMESTAMP) AS ct
+  FROM {table} WHERE event_type = 'click'
+)
+SELECT v.user_id, v.view_id, c.click_id, (c.ct - v.vt)::BIGINT AS delay_us
+FROM v JOIN c ON c.user_id = v.user_id
+WHERE c.ct >= v.vt AND c.ct <= v.vt + {delay_us}
+"""

@@ -329,3 +329,25 @@ def test_serving_pointer_never_dangles(spark, tmp_path):
     SI.vacuum(work)
     assert not os.path.isdir(serving1)  # unreferenced now → reclaimed
     pages.unpersist()
+
+
+def test_view_click_join_stream_equals_batch(spark, events, tmp_path):
+    """Stream-stream interval join (per-side watermarks, time-bounded
+    condition): availableNow streaming execution produces exactly the
+    batch interval-join result."""
+    from search_engine_spark.streaming.windows import view_click_join
+
+    src = str(tmp_path / "ev3")
+    events.write.parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    run_stream_to_memory(
+        view_click_join(stream, "12 hours"), "vcj_stream",
+        output_mode="append",
+    )
+    got = sorted(tuple(r) for r in spark.table("vcj_stream").collect())
+    want = sorted(
+        tuple(r) for r in view_click_join(events, "12 hours").collect()
+    )
+    assert got == want and len(want) > 10
+    # every delay is within the bound and non-negative
+    assert all(0 <= r[3] <= 12 * 3_600_000_000 for r in want)
