@@ -1763,6 +1763,25 @@ def q_mmr_rerank(spark, sf_dir):
     return S.mmr_rerank(emb, qv, k=5, pool=20, exclude_self=0)
 
 
+def q_bloom_probe(spark, sf_dir):
+    """Bloom filter as a relational bit-position set (4096 bits, 4 md5
+    two-hash functions) built over the corpus vocabulary; probes = terms
+    of every 97th doc (all present) plus their reversals (mostly
+    absent) — membership, ground truth, and the false-positive flag all
+    value-checked, because the bit positions are deterministic in both
+    engines."""
+    from search_engine_spark.operators import sketches as SK
+
+    docs = _docs(spark, sf_dir)
+    vocab = docs.select(F.explode(T.tokens_col("text")).alias("term"))
+    probe_docs = docs.filter(F.col("doc_id") % 97 == 0)
+    pterms = probe_docs.select(F.explode(T.tokens_col("text")).alias("term"))
+    probes = pterms.unionByName(
+        pterms.select(F.reverse(F.col("term")).alias("term"))
+    )
+    return SK.bloom_probe(probes, SK.bloom_build(vocab), truth=vocab)
+
+
 def q_cms_topk(spark, sf_dir):
     """Count-Min Sketch heavy hitters (Cormode & Muthukrishnan 2005):
     top-25 terms by sketch estimate from a 4x256 relational counter grid,
@@ -2329,6 +2348,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_parse": q_sitemap_parse,  # sitemaps.org seed channel (r5)
         "host_rank": q_host_rank,  # host-coarsened PageRank prior (r5)
         "cms_topk": q_cms_topk,  # Count-Min Sketch heavy hitters (r5)
+        "bloom_probe": q_bloom_probe,  # Bloom membership + FP audit (r5)
         "mmr_rerank": q_mmr_rerank,  # MMR diversification (r5)
         "funnel": q_funnel,  # event funnel analysis (r5)
         "retention": q_retention,  # cohort retention (r5)
@@ -3449,9 +3469,22 @@ WHERE d.doc_id % (q.qid + 2) = 0""",
 
     sqls["mmr_rerank"] = mmr_rerank_sql(qid=0, k=5, pool=20)
 
-    from search_engine_spark.operators.sketches import cms_heavy_hitters_sql
+    from search_engine_spark.operators.sketches import (
+        bloom_probe_sql,
+        cms_heavy_hitters_sql,
+    )
 
     sqls["cms_topk"] = cms_heavy_hitters_sql(k=25)
+
+    _vocab_sql = f"WITH {TOKS_CTE} SELECT t.term FROM toks, unnest(toks.toks) AS t(term)"
+    _probe_sql = (
+        "WITH ptoks AS (SELECT "
+        "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "
+        "x -> x <> '') AS toks FROM documents WHERE doc_id % 97 = 0), "
+        "pt AS (SELECT t.term FROM ptoks, unnest(ptoks.toks) AS t(term)) "
+        "SELECT term FROM pt UNION ALL SELECT reverse(term) FROM pt"
+    )
+    sqls["bloom_probe"] = bloom_probe_sql(_vocab_sql, _probe_sql)
 
     from search_engine_spark.operators.frontier import sitemap_entries_sql
 

@@ -154,3 +154,142 @@ SELECT term, est::BIGINT AS est, exact::BIGINT AS exact,
 FROM est
 ORDER BY est DESC, term ASC LIMIT {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter as a relational bit-position set
+# ---------------------------------------------------------------------------
+
+BLOOM_BITS = 4096
+BLOOM_HASHES = 4
+
+
+def bloom_build(
+    keys: DataFrame,
+    key: str = "term",
+    bits: int = BLOOM_BITS,
+    num_hashes: int = BLOOM_HASHES,
+) -> DataFrame:
+    """(pos) — the set bit positions of a Bloom filter over ``keys``
+    (Bloom 1970), as rows: the relational form is mergeable (union +
+    distinct), broadcastable (<= ``bits`` rows regardless of key count),
+    and — because positions come from the md5 two-hash family — exactly
+    reproducible in any engine. The classic join-pruning side structure:
+    broadcast the positions, semi-join probes before an expensive join."""
+    h0, h1 = md5_two_hash_cols(F.col("_k"), 2)[:2]
+    base = keys.select(F.col(key).alias("_k")).distinct().select(
+        "_k", h0.alias("_h1"), (h1 - h0).alias("_h2")
+    )
+    return (
+        base.select(
+            F.explode(
+                F.sequence(F.lit(0), F.lit(num_hashes - 1))
+            ).alias("j"),
+            "_h1", "_h2",
+        )
+        .select(((F.col("_h1") + F.col("j") * F.col("_h2")) % bits)
+                .alias("pos"))
+        .distinct()
+    )
+
+
+def bloom_probe(
+    probes: DataFrame,
+    filter_bits: DataFrame,
+    truth: DataFrame | None = None,
+    key: str = "term",
+    bits: int = BLOOM_BITS,
+    num_hashes: int = BLOOM_HASHES,
+) -> DataFrame:
+    """(term, maybe_present[, actually_present, false_positive]) — probe
+    membership: a key "maybe" belongs iff ALL its ``num_hashes`` bit
+    positions are set (no false negatives, by construction). With
+    ``truth`` (the original key relation) the output also carries the
+    ground truth and the false-positive flag — the accounting that sizes
+    bits/hashes for a target FP rate.
+
+    Shape: the filter is broadcast (<= bits rows); each probe explodes to
+    ``num_hashes`` membership lookups and re-aggregates — no shuffle of
+    the probe side beyond its own key agg."""
+    fb = F.broadcast(filter_bits)
+    h0, h1 = md5_two_hash_cols(F.col("term"), 2)[:2]
+    pr = probes.select(F.col(key).alias("term")).distinct().select(
+        "term", h0.alias("_h1"), (h1 - h0).alias("_h2")
+    )
+    hit_counts = (
+        pr.select(
+            "term",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(num_hashes - 1))
+            ).alias("j"),
+            "_h1", "_h2",
+        )
+        .select(
+            "term",
+            ((F.col("_h1") + F.col("j") * F.col("_h2")) % bits).alias("pos"),
+        )
+        .join(fb, "pos", "left_semi")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("_hits"))
+    )
+    out = (
+        pr.select("term")
+        .join(hit_counts, "term", "left")
+        .select(
+            "term",
+            (F.coalesce("_hits", F.lit(0)) == num_hashes).alias(
+                "maybe_present"
+            ),
+        )
+    )
+    if truth is None:
+        return out
+    t = truth.select(F.col(key).alias("term")).distinct().withColumn(
+        "actually_present", F.lit(True)
+    )
+    return out.join(t, "term", "left").select(
+        "term",
+        "maybe_present",
+        F.coalesce("actually_present", F.lit(False)).alias(
+            "actually_present"
+        ),
+        (
+            F.col("maybe_present")
+            & ~F.coalesce("actually_present", F.lit(False))
+        ).alias("false_positive"),
+    )
+
+
+def bloom_probe_sql(
+    keys_sql: str,
+    probes_sql: str,
+    bits: int = BLOOM_BITS,
+    num_hashes: int = BLOOM_HASHES,
+) -> str:
+    """DuckDB mirror of bloom_build + bloom_probe(truth=keys) over CTE
+    bodies each yielding a ``term`` column."""
+    h1, h2 = md5_two_hash_sql("term")
+    return f"""
+WITH keys AS MATERIALIZED (SELECT DISTINCT term FROM ({keys_sql})),
+kb AS (SELECT term, {h1} AS h1v, {h2} AS h2v FROM keys),
+fbits AS MATERIALIZED (
+  SELECT DISTINCT (h1v + g.j * h2v) % {bits} AS pos
+  FROM kb, unnest(generate_series(0, {num_hashes - 1})) AS g(j)
+),
+probes AS MATERIALIZED (SELECT DISTINCT term FROM ({probes_sql})),
+pb AS (SELECT term, {h1} AS h1v, {h2} AS h2v FROM probes),
+hits AS (
+  SELECT pb.term, count(*) AS n_hits
+  FROM pb, unnest(generate_series(0, {num_hashes - 1})) AS g(j)
+  WHERE (pb.h1v + g.j * pb.h2v) % {bits} IN (SELECT pos FROM fbits)
+  GROUP BY pb.term
+)
+SELECT p.term,
+       coalesce(h.n_hits, 0) = {num_hashes} AS maybe_present,
+       (k.term IS NOT NULL) AS actually_present,
+       (coalesce(h.n_hits, 0) = {num_hashes} AND k.term IS NULL)
+         AS false_positive
+FROM probes p
+LEFT JOIN hits h ON h.term = p.term
+LEFT JOIN keys k ON k.term = p.term
+"""

@@ -1927,3 +1927,49 @@ def test_search_eval_duckdb_mirror(spark):
         "SELECT qid, docid, rank FROM res_in",
         "SELECT qid, docid, rel FROM qr_in", k=10)).fetchall())
     assert got == want and len(got) > 0
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (Bloom 1970; operators/sketches.py bloom_build/bloom_probe)
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_no_false_negatives_and_fp_accounting(spark):
+    from search_engine_spark.operators import sketches as SK
+
+    keys = spark.createDataFrame(
+        [(f"key{i}",) for i in range(200)], "term string"
+    )
+    fb = SK.bloom_build(keys)
+    probes = spark.createDataFrame(
+        [(f"key{i}",) for i in range(200)]
+        + [(f"absent{i}",) for i in range(200)],
+        "term string",
+    )
+    got = {r["term"]: r for r in
+           SK.bloom_probe(probes, fb, truth=keys).collect()}
+    # no false negatives, ever
+    assert all(got[f"key{i}"]["maybe_present"] for i in range(200))
+    assert all(got[f"key{i}"]["actually_present"] for i in range(200))
+    assert not any(got[f"key{i}"]["false_positive"] for i in range(200))
+    # absent keys: mostly rejected; any accepted one is flagged FP
+    fps = [t for t in got if t.startswith("absent")
+           and got[t]["maybe_present"]]
+    rejected = [t for t in got if t.startswith("absent")
+                and not got[t]["maybe_present"]]
+    assert len(rejected) > 150  # 200 keys in 4096 bits -> low FP rate
+    assert all(got[t]["false_positive"] for t in fps)
+    assert not any(got[t]["actually_present"] for t in fps)
+
+
+def test_bloom_forced_saturation_all_maybe(spark):
+    """bits=1 saturates the filter: every probe 'maybe' matches — the
+    degenerate case proving the all-positions-set rule."""
+    from search_engine_spark.operators import sketches as SK
+
+    keys = spark.createDataFrame([("x",)], "term string")
+    fb = SK.bloom_build(keys, bits=1)
+    probes = spark.createDataFrame([("x",), ("zz",)], "term string")
+    got = {r["term"]: r["maybe_present"]
+           for r in SK.bloom_probe(probes, fb, bits=1).collect()}
+    assert got == {"x": True, "zz": True}
