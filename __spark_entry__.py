@@ -1763,6 +1763,26 @@ def q_mmr_rerank(spark, sf_dir):
     return S.mmr_rerank(emb, qv, k=5, pool=20, exclude_self=0)
 
 
+def q_zorder_keys(spark, sf_dir):
+    """Z-order (Morton) clustering keys over events (user dim × hour
+    dim) — the write-side layout that lets min/max parquet stats prune
+    scans filtered on EITHER column (operators/layout.py; pure bit
+    arithmetic, identical in both engines)."""
+    from search_engine_spark.operators.layout import zorder_key
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("user_id").alias("x"),
+        F.expr(
+            "unix_micros(cast(ts as timestamp)) div 3600000000"
+        ).alias("y"),
+    )
+    return ev.select(
+        "event_id", "x", "y",
+        zorder_key(F.col("x"), F.col("y")).alias("z"),
+    )
+
+
 def q_bloom_probe(spark, sf_dir):
     """Bloom filter as a relational bit-position set (4096 bits, 4 md5
     two-hash functions) built over the corpus vocabulary; probes = terms
@@ -2349,6 +2369,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_rank": q_host_rank,  # host-coarsened PageRank prior (r5)
         "cms_topk": q_cms_topk,  # Count-Min Sketch heavy hitters (r5)
         "bloom_probe": q_bloom_probe,  # Bloom membership + FP audit (r5)
+        "zorder_keys": q_zorder_keys,  # Morton layout clustering (r5)
         "mmr_rerank": q_mmr_rerank,  # MMR diversification (r5)
         "funnel": q_funnel,  # event funnel analysis (r5)
         "retention": q_retention,  # cohort retention (r5)
@@ -3485,6 +3506,17 @@ WHERE d.doc_id % (q.qid + 2) = 0""",
         "SELECT term FROM pt UNION ALL SELECT reverse(term) FROM pt"
     )
     sqls["bloom_probe"] = bloom_probe_sql(_vocab_sql, _probe_sql)
+
+    from search_engine_spark.operators.layout import zorder_key_sql
+
+    sqls["zorder_keys"] = f"""
+WITH ev AS (
+  SELECT event_id, user_id AS x,
+         (epoch_us(ts::TIMESTAMP) // 3600000000)::BIGINT AS y
+  FROM events
+)
+SELECT event_id, x, y, {zorder_key_sql('x', 'y')}::BIGINT AS z FROM ev
+"""
 
     from search_engine_spark.operators.frontier import sitemap_entries_sql
 

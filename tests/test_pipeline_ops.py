@@ -1973,3 +1973,57 @@ def test_bloom_forced_saturation_all_maybe(spark):
     got = {r["term"]: r["maybe_present"]
            for r in SK.bloom_probe(probes, fb, bits=1).collect()}
     assert got == {"x": True, "zz": True}
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout keys (operators/layout.py)
+# ---------------------------------------------------------------------------
+
+
+def _py_morton(x, y, bits=16):
+    z = 0
+    for b in range(bits):
+        z |= ((x >> b) & 1) << (2 * b)
+        z |= ((y >> b) & 1) << (2 * b + 1)
+    return z
+
+
+def test_zorder_key_matches_python_and_locality(spark):
+    from search_engine_spark.operators.layout import zorder_key
+
+    rows = [(i, i * 37 % 1000, i * 91 % 500) for i in range(300)]
+    df = spark.createDataFrame(rows, "i long, x long, y long")
+    got = {r["i"]: r["z"] for r in df.select(
+        "i", zorder_key(F.col("x"), F.col("y")).alias("z")).collect()}
+    for i, x, y in rows:
+        assert got[i] == _py_morton(x, y)
+    # locality: a point one step away in x differs less in z than a
+    # point far away in x (same y)
+    assert abs(_py_morton(10, 7) - _py_morton(11, 7)) < abs(
+        _py_morton(10, 7) - _py_morton(500, 7)
+    )
+
+
+def test_zorder_layout_contiguous_ranges(spark):
+    """repartitionByRange on the key gives non-overlapping z ranges per
+    partition — the property parquet min/max pruning needs."""
+    from search_engine_spark.operators.layout import zorder_layout
+    import pytest as _pytest
+
+    rows = [(i, i % 64, (i * 7) % 64) for i in range(512)]
+    df = spark.createDataFrame(rows, "i long, x long, y long")
+    parts = (
+        zorder_layout(df, "x", "y", partitions=4)
+        .select("_z", F.spark_partition_id().alias("pid"))
+        .collect()
+    )
+    ranges = {}
+    for r in parts:
+        lo, hi = ranges.get(r["pid"], (r["_z"], r["_z"]))
+        ranges[r["pid"]] = (min(lo, r["_z"]), max(hi, r["_z"]))
+    spans = sorted(ranges.values())
+    for (_, hi), (lo, _) in zip(spans, spans[1:]):
+        assert hi <= lo
+    with _pytest.raises(ValueError, match="bits"):
+        from search_engine_spark.operators.layout import zorder_key as zk
+        df.select(zk(F.col("x"), F.col("y"), bits=40))
