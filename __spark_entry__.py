@@ -1763,6 +1763,19 @@ def q_mmr_rerank(spark, sf_dir):
     return S.mmr_rerank(emb, qv, k=5, pool=20, exclude_self=0)
 
 
+def q_hist_quantiles(spark, sf_dir):
+    """Fixed-grid histogram quantile sketch (the third mergeable sketch
+    beside CMS and Bloom): estimates from a 128-bucket grid over
+    documents.n_chars next to the exact rank-based answers, abs_err
+    bounded by one grid cell."""
+    from search_engine_spark.operators import sketches as SK
+
+    return SK.hist_quantiles(
+        _docs(spark, sf_dir), "n_chars", [10, 25, 50, 75, 90, 99],
+        lo=0.0, hi=4096.0, buckets=128,
+    )
+
+
 def q_zorder_keys(spark, sf_dir):
     """Z-order (Morton) clustering keys over events (user dim × hour
     dim) — the write-side layout that lets min/max parquet stats prune
@@ -2370,6 +2383,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_topk": q_cms_topk,  # Count-Min Sketch heavy hitters (r5)
         "bloom_probe": q_bloom_probe,  # Bloom membership + FP audit (r5)
         "zorder_keys": q_zorder_keys,  # Morton layout clustering (r5)
+        "hist_quantiles": q_hist_quantiles,  # histogram sketch (r5)
         "mmr_rerank": q_mmr_rerank,  # MMR diversification (r5)
         "funnel": q_funnel,  # event funnel analysis (r5)
         "retention": q_retention,  # cohort retention (r5)
@@ -3493,6 +3507,11 @@ WHERE d.doc_id % (q.qid + 2) = 0""",
     from search_engine_spark.operators.sketches import (
         bloom_probe_sql,
         cms_heavy_hitters_sql,
+        hist_quantiles_sql,
+    )
+
+    sqls["hist_quantiles"] = hist_quantiles_sql(
+        "n_chars", [10, 25, 50, 75, 90, 99], lo=0.0, hi=4096.0, buckets=128
     )
 
     sqls["cms_topk"] = cms_heavy_hitters_sql(k=25)

@@ -293,3 +293,146 @@ FROM probes p
 LEFT JOIN hits h ON h.term = p.term
 LEFT JOIN keys k ON k.term = p.term
 """
+
+
+# ---------------------------------------------------------------------------
+# Fixed-grid histogram quantile sketch
+# ---------------------------------------------------------------------------
+
+
+def hist_counters(
+    df: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    buckets: int = 128,
+) -> DataFrame:
+    """(bucket, c) — fixed-grid histogram over ``[lo, hi)``: the third
+    mergeable sketch beside the CMS grid and the Bloom bit set (union +
+    re-agg merges shards/ticks). Values are clamped into the edge
+    buckets, so the sketch never drops rows; bucket assignment is integer
+    arithmetic over ``(v - lo) * buckets / (hi - lo)`` with both engines
+    flooring the same double."""
+    v = F.col(col).cast("double")
+    b = F.floor(
+        (v - F.lit(float(lo)))
+        * F.lit(float(buckets))
+        / F.lit(float(hi - lo))
+    ).cast("long")
+    b = F.least(F.greatest(b, F.lit(0)), F.lit(buckets - 1))
+    return (
+        df.select(b.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def hist_quantiles(
+    df: DataFrame,
+    col: str,
+    qs: list[int],
+    lo: float,
+    hi: float,
+    buckets: int = 128,
+) -> DataFrame:
+    """(q_pct, est, exact, abs_err) — quantile estimates from the
+    histogram sketch next to the exact rank-based answer: for quantile
+    q, the estimate is the UPPER EDGE of the first bucket whose
+    cumulative count reaches ``ceil(q/100 * n)``, and ``exact`` is the
+    value at that rank in sort order (ties broken by value only — rank
+    over equal values picks the same value either way). ``abs_err`` is
+    bounded by one grid cell when the sketch covers the data range —
+    the accuracy contract a monitoring tick relies on.
+
+    Shape: the sketch is a <= ``buckets``-row agg (mergeable, broadcast
+    for the cum pass); exact goes through one sort-based window — the
+    expensive verifier the sketch exists to avoid at ingest time."""
+    n_row = df.agg(F.count(F.lit(1)).alias("n"))
+    hist = hist_counters(df, col, lo, hi, buckets)
+    from pyspark.sql import Window
+
+    wcum = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "bucket", F.sum("c").over(wcum).alias("cum")
+    )  # <= buckets rows: the single-partition window is bounded, not a
+    # data-sized sort
+    qdf = df.sparkSession.createDataFrame(
+        [(int(q),) for q in qs], "q_pct long"
+    )
+    targets = qdf.crossJoin(F.broadcast(n_row)).select(
+        "q_pct",
+        F.ceil(F.col("q_pct") * F.col("n") / F.lit(100.0)).alias("rank"),
+    )
+    cell = (hi - lo) / buckets
+    est = (
+        targets.join(
+            F.broadcast(cum), F.col("cum") >= F.col("rank"), "left"
+        )
+        .groupBy("q_pct", "rank")
+        .agg(F.min("bucket").alias("b"))
+        .select(
+            "q_pct", "rank",
+            (F.lit(float(lo)) + (F.col("b") + 1) * F.lit(float(cell)))
+            .alias("est"),
+        )
+    )
+    ranked = df.select(
+        F.col(col).cast("double").alias("_v")
+    ).select("_v", F.row_number().over(Window.orderBy("_v")).alias("_r"))
+    exact = est.join(
+        ranked, est["rank"] == ranked["_r"]
+    ).select(
+        "q_pct", "est", F.col("_v").alias("exact"),
+        F.abs(F.col("est") - F.col("_v")).alias("abs_err"),
+    )
+    return exact
+
+
+def hist_quantiles_sql(
+    col: str,
+    qs: list[int],
+    lo: float,
+    hi: float,
+    buckets: int = 128,
+    table: str = "documents",
+) -> str:
+    """DuckDB mirror of :func:`hist_quantiles` — same literal injection
+    (the Python-computed cell width appears verbatim in both engines) and
+    the same operation order in the bucket expression."""
+    cell = (hi - lo) / buckets
+    vals = ", ".join(f"({int(q)})" for q in qs)
+    bucket_expr = (
+        f"least(greatest(floor((({col})::DOUBLE - {float(lo)!r}) * "
+        f"{float(buckets)!r} / {float(hi - lo)!r})::BIGINT, 0), "
+        f"{buckets - 1})"
+    )
+    return f"""
+WITH n AS (SELECT count(*) AS n FROM {table}),
+hist AS (
+  SELECT {bucket_expr} AS bucket, count(*) AS c FROM {table} GROUP BY 1
+),
+cum AS (SELECT bucket, sum(c) OVER (ORDER BY bucket) AS cum FROM hist),
+targets AS (
+  SELECT q.q_pct::BIGINT AS q_pct,
+         ceil(q.q_pct * n.n / 100.0)::BIGINT AS rank
+  FROM (VALUES {vals}) AS q(q_pct), n
+),
+est AS (
+  SELECT t.q_pct, t.rank, min(cum.bucket) AS b
+  FROM targets t JOIN cum ON cum.cum >= t.rank
+  GROUP BY t.q_pct, t.rank
+),
+ranked AS (
+  SELECT ({col})::DOUBLE AS v,
+         row_number() OVER (ORDER BY ({col})::DOUBLE) AS r
+  FROM {table}
+)
+SELECT e.q_pct,
+       ({float(lo)!r}::DOUBLE + (e.b + 1) * {cell!r}::DOUBLE) AS est,
+       rk.v AS exact,
+       abs(({float(lo)!r}::DOUBLE + (e.b + 1) * {cell!r}::DOUBLE) - rk.v)
+         AS abs_err
+FROM est e JOIN ranked rk ON rk.r = e.rank
+"""

@@ -2027,3 +2027,44 @@ def test_zorder_layout_contiguous_ranges(spark):
     with _pytest.raises(ValueError, match="bits"):
         from search_engine_spark.operators.layout import zorder_key as zk
         df.select(zk(F.col("x"), F.col("y"), bits=40))
+
+
+# ---------------------------------------------------------------------------
+# Histogram quantile sketch (operators/sketches.py hist_quantiles)
+# ---------------------------------------------------------------------------
+
+
+def test_hist_quantiles_error_bounded_by_cell(spark):
+    from search_engine_spark.operators import sketches as SK
+
+    rows = [(i, (i * 37) % 1000) for i in range(2000)]
+    df = spark.createDataFrame(rows, "i long, v long")
+    got = {r["q_pct"]: r.asDict() for r in SK.hist_quantiles(
+        df, "v", [10, 50, 90], lo=0.0, hi=1000.0, buckets=100).collect()}
+    cell = 10.0
+    for q in (10, 50, 90):
+        # estimate is the bucket upper edge: exact < est <= exact + cell
+        assert got[q]["exact"] < got[q]["est"] <= got[q]["exact"] + cell
+        assert got[q]["abs_err"] <= cell
+    # values 0..999 uniform: the exact median sits near 500
+    assert abs(got[50]["exact"] - 500) <= 1
+
+
+def test_hist_counters_mergeable_and_clamped(spark):
+    from pyspark.sql import functions as F2
+
+    from search_engine_spark.operators import sketches as SK
+
+    a = spark.createDataFrame([(1.0,), (5.0,), (-3.0,)], "v double")
+    b = spark.createDataFrame([(99.0,), (1000.0,)], "v double")
+    whole = {(r["bucket"]): r["c"] for r in SK.hist_counters(
+        a.unionByName(b), "v", 0.0, 100.0, buckets=10).collect()}
+    merged = {
+        r["bucket"]: r["c"]
+        for r in SK.hist_counters(a, "v", 0.0, 100.0, 10)
+        .unionByName(SK.hist_counters(b, "v", 0.0, 100.0, 10))
+        .groupBy("bucket").agg(F2.sum("c").alias("c")).collect()
+    }
+    assert whole == merged
+    # out-of-range values clamp to the edge buckets, never dropped
+    assert whole[0] == 3 and whole[9] == 2
