@@ -551,6 +551,42 @@ def main() -> None:
         ],
     )
 
+    # 22. Bloom probe: filter broadcast, probe side never wide-shuffled
+    audit(
+        "bloom_probe (bit set broadcast semi-join)",
+        qs["bloom_probe"](spark, sf_dir),
+        [
+            ("filter bits broadcast", lambda p: "BroadcastExchange" in p),
+            ("no cartesian product", lambda p: "CartesianProduct" not in p),
+            ("no Python eval", lambda p: "BatchEvalPython" not in p),
+        ],
+    )
+    # 23. z-order keys: pure projection — no shuffle, no join, no window
+    audit(
+        "zorder_keys (Morton projection)",
+        qs["zorder_keys"](spark, sf_dir),
+        [
+            ("single narrow projection (no exchange)",
+             lambda p: "Exchange hashpartitioning" not in p
+             and ") Window" not in p),
+            ("whole-stage codegen",
+             lambda p: "WholeStageCodegen" in p or "*(" in p
+             or "[codegen id" in p),
+        ],
+    )
+    # 24. histogram quantiles: bounded-size sketch window, broadcast joins
+    audit(
+        "hist_quantiles (bounded sketch + broadcast cum grid)",
+        qs["hist_quantiles"](spark, sf_dir),
+        [
+            ("grid/cum broadcast to the probe side",
+             lambda p: "BroadcastExchange" in p
+             or "BroadcastNestedLoopJoin" in p),
+            ("hash aggregation for bucket counts",
+             lambda p: "HashAggregate" in p),
+        ],
+    )
+
     out = ["# PLANS.md — physical-plan audit\n\n",
            f"Generated by tools/explain_audit.py over `{sf_dir}`.\n\n"]
     all_ok = True
